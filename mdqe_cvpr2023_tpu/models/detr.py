@@ -1,0 +1,175 @@
+"""Inner detection model: backbone + input projections + encoder + decoder with the
+three-phase API used by windowed VIS inference.
+
+Behavioral spec: /root/reference/mdqe/models/mdqe.py:14-117 (forward,
+forward_pre_backbone, forward_deformable_enc, forward_mask_head_inference) and the
+MaskedBackbone+Joiner wrapper (/root/reference/mdqe/mdqe.py:22-57,
+models/backbone.py:96-109).
+
+TPU design: images arrive as a fixed-shape padded batch (BT, Hp, Wp, 3) plus true
+per-frame sizes (BT, 2); padding masks per level are computed from the sizes with
+static shapes. Everything is jit-compatible with shapes as compile-time constants.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import nn as fnn
+from ..utils.misc import interpolate_nearest
+from .resnet import resnet_apply, resnet_init
+from .encoder import EncoderCfg, encoder_apply, encoder_init, flatten_levels
+from .decoder import DecoderCfg, decoder_apply, decoder_init, _encoded_to_maps
+from .mask_head import mask_head_apply
+
+
+@dataclass(frozen=True)
+class MDQEModelCfg:
+    backbone: str = "resnet50"
+    num_classes: int = 80
+    hidden_dim: int = 256
+    n_heads: int = 8
+    n_feature_levels: int = 4
+    enc_layers: int = 6
+    dec_layers: int = 6
+    enc_points: int = 4
+    dec_points: int = 4
+    n_frames: int = 1
+    n_query: int = 196
+    query_embed_dim: int = 64
+    window_inter_frame_asso: int = 5
+    mlp_ratio: float = 4.0
+    dec_temporal: bool = True
+    mask_on: bool = True
+
+    @property
+    def backbone_channels(self) -> Tuple[int, ...]:
+        if self.backbone.startswith("resnet"):
+            return (512, 1024, 2048)  # res3, res4, res5
+        if self.backbone == "swin_large":
+            return (384, 768, 1536)   # stages 1..3 at strides 8/16/32
+        raise ValueError(self.backbone)
+
+    @property
+    def feature_strides(self) -> Tuple[int, ...]:
+        return (8, 16, 32)
+
+    @property
+    def encoder_cfg(self) -> EncoderCfg:
+        return EncoderCfg(self.hidden_dim, self.n_heads, self.n_feature_levels,
+                          self.enc_points, self.enc_layers, self.mlp_ratio)
+
+    @property
+    def decoder_cfg(self) -> DecoderCfg:
+        return DecoderCfg(self.num_classes, self.hidden_dim, self.n_heads,
+                          self.n_feature_levels, self.n_frames, self.dec_points,
+                          self.dec_layers, self.mlp_ratio, self.n_query,
+                          self.query_embed_dim, self.window_inter_frame_asso,
+                          use_tca=self.dec_temporal, mask_on=self.mask_on)
+
+
+def detr_init(key, cfg: MDQEModelCfg):
+    kb, kp, ke, kd = jax.random.split(key, 4)
+    if cfg.backbone.startswith("resnet"):
+        depth = int(cfg.backbone[len("resnet"):])
+        backbone = resnet_init(kb, depth)
+    elif cfg.backbone == "swin_large":
+        from .swin import swin_large_init
+        backbone = swin_large_init(kb)
+    else:
+        raise ValueError(cfg.backbone)
+
+    # input projections: 1x1 conv + GN(32) per backbone level; extra pyramid level
+    # via 3x3 stride-2 conv from the last backbone feature (models/mdqe.py:32-45)
+    chans = list(cfg.backbone_channels)
+    proj = []
+    kproj = jax.random.split(kp, cfg.n_feature_levels)
+    for i in range(cfg.n_feature_levels):
+        if i < len(chans):
+            conv = fnn.conv_init(kproj[i], chans[i], cfg.hidden_dim, 1)
+        else:
+            conv = fnn.conv_init(kproj[i], chans[-1], cfg.hidden_dim, 3)
+        proj.append({"conv": conv, "gn": fnn.norm_init(cfg.hidden_dim)})
+
+    return {
+        "backbone": backbone,
+        "input_proj": proj,
+        "transformer_enc": encoder_init(ke, cfg.encoder_cfg),
+        "transformer_dec": decoder_init(kd, cfg.decoder_cfg),
+    }
+
+
+def padding_masks(image_sizes, padded_hw: Tuple[int, int], strides: Sequence[int]):
+    """image_sizes (BT, 2) true [h, w]; returns per-stride (BT, Hs, Ws) bool masks
+    (True on padded pixels), matching MaskedBackbone.mask_out_padding's ceil(h/s)."""
+    masks = []
+    Hp, Wp = padded_hw
+    h = image_sizes[:, 0][:, None]
+    w = image_sizes[:, 1][:, None]
+    for s in strides:
+        Hs, Ws = -(-Hp // s), -(-Wp // s)
+        vr = -(-h // s)  # ceil
+        vc = -(-w // s)
+        rows = jnp.arange(Hs)[None] >= vr  # (BT,Hs) True past the valid rows
+        cols = jnp.arange(Ws)[None] >= vc
+        masks.append(rows[:, :, None] | cols[:, None, :])
+    return masks
+
+
+def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes):
+    """images (BT,Hp,Wp,3) normalized NHWC; image_sizes (BT,2).
+    Returns (srcs, masks, pos): per-level projected features, padding masks, sine pos."""
+    if cfg.backbone.startswith("resnet"):
+        feats = resnet_apply(params["backbone"], images)
+        feat_list = [feats["res3"], feats["res4"], feats["res5"]]
+    else:
+        from .swin import swin_apply
+        feat_list = swin_apply(params["backbone"], images)
+
+    strides = list(cfg.feature_strides)
+    extra_levels = cfg.n_feature_levels - len(feat_list)
+    for i in range(extra_levels):
+        strides.append(strides[-1] * 2)
+    masks = padding_masks(image_sizes, images.shape[1:3], strides)
+
+    srcs = []
+    for i in range(cfg.n_feature_levels):
+        p = params["input_proj"][i]
+        if i < len(feat_list):
+            x = fnn.conv2d(p["conv"], feat_list[i], stride=1, padding=0)
+        else:
+            base = feat_list[-1] if i == len(feat_list) else srcs[-1]
+            x = fnn.conv2d(p["conv"], base, stride=2, padding=1)
+        srcs.append(fnn.group_norm(p["gn"], x, 32))
+
+    n_steps = cfg.hidden_dim // 2
+    pos = [fnn.position_embedding_sine(~m, n_steps).astype(images.dtype) for m in masks]
+    return srcs, masks, pos
+
+
+def detr_encode(params, cfg: MDQEModelCfg, images, image_sizes):
+    """backbone + input projections + deformable encoder for a (window of) frames.
+    Returns (encoded (BT,N,C), mask_flat (BT,N), spatial_shapes)."""
+    srcs, masks, pos = detr_backbone_features(params, cfg, images, image_sizes)
+    encoded = encoder_apply(params["transformer_enc"], cfg.encoder_cfg, srcs, masks, pos)
+    _, mask_flat, _, spatial_shapes = flatten_levels(srcs, masks, None)
+    return encoded, mask_flat, spatial_shapes
+
+
+def detr_mask_feats(params, cfg: MDQEModelCfg, encoded, spatial_shapes):
+    """Proto mask features for a window: (BT, H4, W4, M)."""
+    maps = _encoded_to_maps(encoded, spatial_shapes)
+    dcfg = cfg.decoder_cfg
+    return mask_head_apply(params["transformer_dec"]["mask_head"], dcfg.mask_head_cfg,
+                           maps[2], [maps[1], maps[0]])
+
+
+def detr_apply_backbone(params, cfg: MDQEModelCfg, images, image_sizes,
+                        n_frames: int, training: bool, is_coco: bool = False):
+    """Full forward: encode + decode. Returns the decoder output dict."""
+    encoded, mask_flat, spatial_shapes = detr_encode(params, cfg, images, image_sizes)
+    return decoder_apply(params["transformer_dec"], cfg.decoder_cfg, encoded, mask_flat,
+                         spatial_shapes, n_frames, training, is_coco=is_coco)
