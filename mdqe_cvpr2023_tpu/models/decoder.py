@@ -145,7 +145,10 @@ def grid_guided_query_selection(cfg: DecoderCfg, rpn_cls_conf):
     cy = jnp.arange(nb)[None, :, None] * r + ly              # (BT,nb,nb)
     cx = jnp.arange(nb)[None, None, :] * t + lx
     qx = cx.astype(jnp.float32) / W_up
-    qy = cy.astype(jnp.float32) / H_up
+    # NOTE: faithful to the reference (transformer_dec.py:106), whose torch.div has no
+    # rounding_mode and therefore true-divides: qy = (y + x/W_up) / H_up. The small
+    # x-fraction leak into y is part of the trained models' behavior.
+    qy = (cy.astype(jnp.float32) + qx) / H_up
     return jnp.stack([qx, qy], axis=-1).reshape(BT, nb * nb, 2)
 
 

@@ -83,9 +83,10 @@ def mask_head_apply(params, cfg: MaskHeadCfg, x, fpns):
     x = cur + _nearest_to(x, cur)
     x = gelu(fnn.group_norm(params["gn3"], fnn.conv2d(params["lay3"], x, padding=1), 8))
 
+    # both separable convs carry ReLU (segmentation.py:26-31 pass activation=F.relu)
     x = _dwsep_apply(params["out_lay1"], x, relu=True)
     x = fnn.conv_transpose2d_up2(params["out_uplay"], x)
-    x = _dwsep_apply(params["out_lay2"], x, relu=False)
+    x = _dwsep_apply(params["out_lay2"], x, relu=True)
     return x
 
 
