@@ -1,0 +1,312 @@
+"""MDQE meta-architecture: preprocessing, windowed VIS inference, clip post-processing
+and video-level merging.
+
+Behavioral spec: /root/reference/mdqe/mdqe.py:61-556 (MDQE.forward, inference_vis,
+inference_clip, inference_video, inference_image, preprocess_image).
+
+TPU design:
+  - All device work is split into three jitted fixed-shape stages, compiled once per
+    (window/clip geometry): encode_window (backbone+encoder+mask head, frames chunked),
+    decode_clip (decoder), postprocess_clip (masked NMS/rescoring/top-k on all Q
+    queries, emitting a fixed top-K slab). The dynamic filtering of the reference
+    (variable instance counts) becomes masked fixed-capacity arrays; the host slices
+    valid rows before handing them to the (host-side) OverTracker.
+  - The video loop (dynamic length) runs in Python on the host, exactly mirroring the
+    reference's window/clip streaming (mdqe.py:291-366).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils.misc import aligned_bilinear, interpolate_nearest
+from ..tracking import ClipResults, OverTracker
+from .decoder import decoder_apply
+from .detr import MDQEModelCfg, detr_encode, detr_mask_feats
+
+
+@dataclass(frozen=True)
+class InferenceCfg:
+    clip_stride: int = 1
+    n_frames_test: int = 4
+    n_frames_window_test: int = 30
+    max_num_instances: int = 120
+    apply_cls_thres: float = 0.1
+    detections_per_image: int = 15
+    multi_cls_on: bool = True
+    match_stride: int = 4
+    clip_topk: int = 32            # fixed per-clip detection slab (device output)
+    encode_chunk: int = 10         # frames per backbone/encoder launch
+    num_classes: int = 25
+
+
+# ---------------------------------------------------------------------------
+# device-side fixed-shape clip post-processing (reference inference_clip :368-428)
+# ---------------------------------------------------------------------------
+
+def postprocess_clip(cls_probs, mask_coeff, query_embeds, mask_feats,
+                     apply_cls_thres: float, topk: int):
+    """cls_probs (Q,K) sigmoid, mask_coeff (Q,M), query_embeds (Q,C),
+    mask_feats (T,H,W,M). Returns a fixed top-k slab:
+    scores (k,), classes (k,), cls (k,K), masks (k,T,H,W), embeds (k,C), valid (k,)."""
+    Q, K = cls_probs.shape
+    T = mask_feats.shape[0]
+    neg = jnp.float32(-1e9)
+
+    # stage 1: score sort, keep >= min(thres, best)
+    base_scores = cls_probs.max(axis=-1)  # (Q,)
+    keep = base_scores >= jnp.minimum(apply_cls_thres, base_scores.max())
+
+    # stage 2: query-similarity dedup (> 0.99 wrt any higher-scored kept query)
+    emb_n = query_embeds / jnp.clip(
+        jnp.linalg.norm(query_embeds, axis=-1, keepdims=True), 1e-12, None)
+    sim = emb_n @ emb_n.T  # (Q,Q)
+    order = jnp.argsort(-jnp.where(keep, base_scores, neg))
+    rank = jnp.argsort(order)  # rank[i] = position of i in sorted order
+    higher = (rank[None, :] < rank[:, None]) & keep[None, :]  # j strictly higher-ranked
+    max_sim = jnp.max(jnp.where(higher, sim, neg), axis=1)
+    keep = keep & (max_sim < 0.99)
+
+    # masks for all queries: (Q,T,H,W)
+    masks = jnp.einsum("qm,thwm->qthw", mask_coeff, mask_feats)
+
+    # stage 3: drop blank masks
+    nonblank = (masks > 0).reshape(Q, -1).sum(axis=1) > 0
+    keep = keep & nonblank
+
+    # stage 4: soft-mask-IoU NMS among kept, in score order
+    m_nms = masks[:, ::2] if T >= 5 else masks
+    soft = jax.nn.sigmoid(m_nms[:, :, ::2, ::2]).reshape(Q, -1)
+    hard = (soft > 0.5).astype(soft.dtype)
+    inter = soft @ hard.T
+    denom = soft.sum(-1)[:, None] + hard.sum(-1)[None] - inter
+    siou = inter / (denom + 1.0)
+    higher = (rank[None, :] < rank[:, None]) & keep[None, :]
+    max_iou = jnp.max(jnp.where(higher, siou.T, 0.0), axis=1)  # siou[j, i] j higher
+    cls_probs = cls_probs * (1 - max_iou[:, None])
+    keep = keep & (max_iou < 0.5)
+
+    # stage 5: mask-aware rescoring
+    soft_full = jax.nn.sigmoid(masks).reshape(Q, -1)
+    hard_full = (soft_full > 0.5).astype(soft_full.dtype)
+    mask_scores = (soft_full * hard_full).sum(1) / (hard_full.sum(1) + 1e-6)
+    cls_probs = cls_probs * mask_scores[:, None]
+
+    # stage 6: final top-k with validity (reference keeps #(> thres), at least 1)
+    scores = jnp.where(keep, cls_probs.max(-1), neg)
+    labels = cls_probs.argmax(-1)
+    top_scores, top_idx = jax.lax.top_k(scores, topk)
+    n_above = jnp.maximum((top_scores > apply_cls_thres).sum(), 1)
+    valid = (jnp.arange(topk) < n_above) & (top_scores > neg / 2)
+
+    return {
+        "scores": top_scores,
+        "classes": labels[top_idx],
+        "cls_probs": cls_probs[top_idx],
+        "masks": masks[top_idx],
+        "query_embeds": query_embeds[top_idx],
+        "valid": valid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# jitted stages
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model_cfg",))
+def encode_frames(params, model_cfg: MDQEModelCfg, images, image_sizes):
+    encoded, mask_flat, _ = detr_encode(params, model_cfg, images, image_sizes)
+    return encoded, mask_flat
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes"))
+def window_mask_feats(params, model_cfg: MDQEModelCfg, encoded, spatial_shapes):
+    return detr_mask_feats(params, model_cfg, encoded, spatial_shapes)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model_cfg", "spatial_shapes", "n_frames",
+                                    "apply_cls_thres", "topk"))
+def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_flat,
+                                spatial_shapes, mask_feats, n_frames: int,
+                                apply_cls_thres: float, topk: int):
+    out = decoder_apply(params["transformer_dec"], model_cfg.decoder_cfg, encoded,
+                        mask_flat, spatial_shapes, n_frames, training=False)
+    return postprocess_clip(out["cls"][0], out["mask_coeff"][0], out["query_embed"][0],
+                            mask_feats, apply_cls_thres, topk)
+
+
+def spatial_shapes_for(model_cfg: MDQEModelCfg, padded_hw) -> Tuple[Tuple[int, int], ...]:
+    Hp, Wp = padded_hw
+    shapes = []
+    strides = [8, 16, 32, 64][:model_cfg.n_feature_levels]
+    for s in strides:
+        shapes.append((-(-Hp // s), -(-Wp // s)))
+    return tuple(shapes)
+
+
+# ---------------------------------------------------------------------------
+# host-side windowed video inference (reference inference_vis :291-366)
+# ---------------------------------------------------------------------------
+
+def preprocess_frames(frames_u8, pixel_mean, pixel_std, size_divisibility=32):
+    """frames_u8: (T, H, W, 3) uint8/float RGB. Returns padded normalized float32
+    (T, Hp, Wp, 3) + per-frame sizes (T, 2)."""
+    T, H, W, _ = frames_u8.shape
+    Hp = -(-H // size_divisibility) * size_divisibility
+    Wp = -(-W // size_divisibility) * size_divisibility
+    out = np.zeros((T, Hp, Wp, 3), np.float32)
+    out[:, :H, :W] = (frames_u8.astype(np.float32) - pixel_mean) / pixel_std
+    sizes = np.tile(np.asarray([[H, W]], np.int32), (T, 1))
+    return out, sizes
+
+
+def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
+                  frames: np.ndarray, image_size: Tuple[int, int],
+                  ori_size: Tuple[int, int]):
+    """Run near-online VIS on one video.
+
+    frames: (T, Hp, Wp, 3) normalized padded float32 (host)
+    image_size: true (h, w) before padding; ori_size: original video (h, w).
+    Returns dict {image_size, pred_scores, pred_labels, pred_masks} like the reference.
+    """
+    video_len = frames.shape[0]
+    T_clip = inf_cfg.n_frames_test
+    W_win = inf_cfg.n_frames_window_test
+    stride = inf_cfg.clip_stride
+    shapes = spatial_shapes_for(model_cfg, frames.shape[1:3])
+
+    tracker: Optional[OverTracker] = None
+    window_encoded = window_maskf = window_maskflat = None
+    window_start = 0
+    window_end = 0
+    saved_clips = 0
+    pred_cls_clips, pred_masks_clips = [], []
+    sizes_all = np.tile(np.asarray([list(image_size)], np.int32), (video_len, 1))
+
+    for start_idx in range(0, video_len, stride):
+        end_idx = min(start_idx + T_clip, video_len)
+        is_last_clip = start_idx + T_clip >= video_len
+
+        if end_idx > window_end:
+            # encode a new window (chunked so each launch has a fixed small batch)
+            window_start = start_idx
+            window_end = min(start_idx + W_win, video_len)
+            enc_parts, mf_parts = [], []
+            c = inf_cfg.encode_chunk
+            for s in range(window_start, window_end, c):
+                e = min(s + c, window_end)
+                imgs = jnp.asarray(frames[s:e])
+                if e - s < c:  # pad the chunk to fixed shape, drop extras after
+                    pad = c - (e - s)
+                    imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
+                    sz = jnp.asarray(np.concatenate([sizes_all[s:e],
+                                                     np.repeat(sizes_all[e - 1:e], pad, 0)]))
+                else:
+                    sz = jnp.asarray(sizes_all[s:e])
+                enc, mflat = encode_frames(params, model_cfg, imgs, sz)
+                enc_parts.append(enc[:e - s])
+                mf_parts.append(mflat[:e - s])
+            window_encoded = jnp.concatenate(enc_parts)
+            window_maskflat = jnp.concatenate(mf_parts)
+            window_maskf = window_mask_feats(params, model_cfg, window_encoded, shapes)
+
+        # clip slice (pad last clip by repeating final frame to keep shapes fixed)
+        idx = list(range(start_idx - window_start, end_idx - window_start))
+        real_T = len(idx)
+        while len(idx) < T_clip:
+            idx.append(idx[-1])
+        idx_arr = jnp.asarray(idx)
+        clip_enc = jnp.take(window_encoded, idx_arr, axis=0)
+        clip_maskflat = jnp.take(window_maskflat, idx_arr, axis=0)
+        clip_maskf = jnp.take(window_maskf, idx_arr, axis=0)
+
+        res = decode_and_postprocess_clip(params, model_cfg, clip_enc, clip_maskflat,
+                                          shapes, clip_maskf, T_clip,
+                                          inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
+        res = jax.tree.map(np.asarray, res)
+        valid = res["valid"]
+        # (k, T, H, W) -> NHWC einsum output is (k,T,H,W) already
+        clip_res = ClipResults(
+            frame_idx=list(range(start_idx, end_idx)),
+            scores=res["scores"][valid],
+            classes=res["classes"][valid],
+            cls_probs=res["cls_probs"][valid],
+            mask_logits=res["masks"][valid][:, :real_T],
+            query_embeds=res["query_embeds"][valid],
+        )
+
+        if tracker is None:
+            mask_hw = (window_maskf.shape[1], window_maskf.shape[2])
+            tracker = OverTracker(inf_cfg.max_num_instances, T_clip, W_win, stride,
+                                  inf_cfg.num_classes, model_cfg.hidden_dim, mask_hw,
+                                  inf_cfg.apply_cls_thres)
+        tracker.update(clip_res)
+
+        is_output = start_idx + stride >= W_win * (saved_clips + 1)
+        if is_last_clip or is_output:
+            out_cls, out_masks = tracker.get_result(is_last_clip=is_last_clip)
+            # stride-4 logits -> full-res probability maps, cropped to true size
+            if out_masks.shape[0] > 0:
+                m = jnp.asarray(out_masks)
+                m = aligned_bilinear(m, inf_cfg.match_stride)
+                m = jax.nn.sigmoid(m)[..., :image_size[0], :image_size[1]]
+                pred_masks_clips.append(np.asarray(m))
+            else:
+                pred_masks_clips.append(
+                    np.zeros((0, out_masks.shape[1]) + tuple(image_size), np.float32))
+            pred_cls_clips.append(out_cls)
+            saved_clips += 1
+
+        if is_last_clip:
+            break
+
+    return inference_video(inf_cfg, ori_size, pred_cls_clips, pred_masks_clips)
+
+
+def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips, pred_masks_clips):
+    """Merge per-window results into final video predictions (reference :430-471)."""
+    total = pred_cls_clips[-1].shape[0]
+    padded_cls = []
+    for cls in pred_cls_clips:
+        miss = total - cls.shape[0]
+        padded_cls.append(np.concatenate([cls, np.zeros((miss, cls.shape[1]),
+                                                        cls.dtype)]))
+    cls_stack = np.stack(padded_cls)  # (W, N, K)
+    out_cls = 0.75 * cls_stack.mean(0) + 0.25 * cls_stack.max(0)
+
+    masks_video = []
+    for idx in range(total):
+        parts = [m[idx] if idx < m.shape[0]
+                 else np.zeros_like(m[0]) if m.shape[0] > 0
+                 else np.zeros(m.shape[1:], np.float32)
+                 for m in pred_masks_clips]
+        masks_video.append(np.concatenate(parts, axis=0))  # (T_total, h, w)
+
+    K = out_cls.shape[1]
+    labels = np.tile(np.arange(K), total)
+    flat = out_cls.reshape(-1)
+    num_topk = max(int((flat > 0.05).sum()), 10)
+    top_idx = np.argsort(-flat)[:num_topk]
+    out_scores = flat[top_idx].tolist()
+    out_labels = labels[top_idx].tolist()
+    inst_idx = top_idx // K
+
+    out_masks = []
+    for i in inst_idx:
+        m = jnp.asarray(masks_video[i])[None]
+        m = interpolate_nearest(m, ori_size)[0]
+        out_masks.append(np.asarray(m > 0.5))
+
+    return {
+        "image_size": ori_size,
+        "pred_scores": out_scores,
+        "pred_labels": out_labels,
+        "pred_masks": out_masks,
+    }

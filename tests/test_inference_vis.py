@@ -1,0 +1,87 @@
+"""End-to-end windowed VIS inference smoke test on a tiny synthetic video (random
+weights): exercises window encoding, clip decoding, fixed-shape post-processing,
+the OverTracker, and video-level merging."""
+import numpy as np
+import jax
+import pytest
+
+from mdqe_cvpr2023_tpu.models import MDQEModelCfg, detr_init
+from mdqe_cvpr2023_tpu.models.meta import (InferenceCfg, inference_vis,
+                                           preprocess_frames)
+
+TINY = MDQEModelCfg(backbone="resnet50", num_classes=5, hidden_dim=64, n_heads=4,
+                    enc_layers=1, dec_layers=1, n_frames=2, n_query=16,
+                    query_embed_dim=8, dec_temporal=True)
+INF = InferenceCfg(clip_stride=2, n_frames_test=2, n_frames_window_test=4,
+                   max_num_instances=20, apply_cls_thres=0.05, clip_topk=8,
+                   encode_chunk=2, num_classes=5)
+
+
+def test_inference_vis_end_to_end():
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(0)
+    video = rng.integers(0, 255, (9, 60, 62, 3)).astype(np.uint8)  # 9 frames
+    frames, sizes = preprocess_frames(video, np.array([123.675, 116.28, 103.53]),
+                                      np.array([58.395, 57.12, 57.375]))
+    assert frames.shape == (9, 64, 64, 3)
+
+    out = inference_vis(params, TINY, INF, frames, image_size=(60, 62),
+                        ori_size=(120, 124))
+    assert out["image_size"] == (120, 124)
+    n = len(out["pred_scores"])
+    assert n >= 1  # at least one (track, class) pair survives
+    assert len(out["pred_labels"]) == n
+    assert len(out["pred_masks"]) == n
+    for m in out["pred_masks"]:
+        assert m.shape == (9, 120, 124)
+        assert m.dtype == bool
+
+
+def test_tracker_association_identity():
+    """Two identical clips must associate to the same instance IDs."""
+    from mdqe_cvpr2023_tpu.tracking import OverTracker, ClipResults
+    rng = np.random.default_rng(1)
+    H, W = 16, 16
+    tr = OverTracker(num_max_inst=10, num_frames=2, window_frames=4, clip_stride=1,
+                     num_classes=3, embed_dim=8, mask_size=(H, W), apply_cls_thres=0.05)
+    masks = rng.standard_normal((2, 2, H, W)).astype(np.float32) * 5
+    emb = rng.standard_normal((2, 8)).astype(np.float32)
+    cls = np.abs(rng.standard_normal((2, 3))).astype(np.float32)
+    clip0 = ClipResults([0, 1], np.array([0.9, 0.8]), np.array([0, 1]), cls, masks, emb)
+    tr.update(clip0)
+    assert tr.num_inst == 2
+    clip1 = ClipResults([1, 2], np.array([0.9, 0.8]), np.array([0, 1]), cls, masks, emb)
+    tr.update(clip1)
+    assert tr.num_inst == 2  # same instances re-identified, no new IDs
+
+    out_cls, out_masks = tr.get_result(is_last_clip=True)
+    assert out_cls.shape == (2, 3)
+    assert out_masks.shape[0] == 2
+
+
+def test_tracker_new_instance_registration():
+    from mdqe_cvpr2023_tpu.tracking import OverTracker, ClipResults
+    rng = np.random.default_rng(2)
+    H, W = 16, 16
+    tr = OverTracker(num_max_inst=10, num_frames=2, window_frames=4, clip_stride=1,
+                     num_classes=3, embed_dim=8, mask_size=(H, W), apply_cls_thres=0.05)
+    # two saved instances (bi-softmax needs >1 saved row to discriminate)
+    m0 = np.full((2, 2, H, W), -10.0, np.float32)
+    m0[0, :, :4, :4] = 10.0
+    m0[1, :, 6:9, 6:9] = 10.0
+    e0 = np.zeros((2, 8), np.float32)
+    e0[0, 0] = 10.0
+    e0[1, 1] = 10.0
+    clip0 = ClipResults([0, 1], np.array([0.9, 0.9]), np.array([0, 1]),
+                        np.array([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]], np.float32),
+                        m0, e0)
+    tr.update(clip0)
+    # a disjoint mask with an orthogonal embedding and high score -> new ID
+    m1 = np.full((1, 2, H, W), -10.0, np.float32)
+    m1[:, :, 10:, 10:] = 10.0
+    e1 = np.zeros((1, 8), np.float32)
+    e1[0, 2] = 10.0
+    clip1 = ClipResults([1, 2], np.array([0.9]), np.array([2]),
+                        np.array([[0.1, 0.1, 0.9]], np.float32), m1, e1)
+    tr.update(clip1)
+    assert tr.num_inst == 3
