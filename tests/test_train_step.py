@@ -1,0 +1,82 @@
+"""Training-step tests: loss computation, gradients, and data-parallel execution on
+the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdqe_cvpr2023_tpu.models import MDQEModelCfg, detr_init
+from mdqe_cvpr2023_tpu.losses import CriterionCfg
+from mdqe_cvpr2023_tpu.parallel import (TrainCfg, make_mesh, make_optimizer,
+                                        make_train_step, shard_batch)
+from mdqe_cvpr2023_tpu.parallel.train import replicate
+
+TINY = MDQEModelCfg(backbone="resnet50", num_classes=5, hidden_dim=64, n_heads=4,
+                    enc_layers=1, dec_layers=1, n_frames=2, n_query=16,
+                    query_embed_dim=8, dec_temporal=True)
+CRIT = CriterionCfg(num_classes=5, n_frames=2, n_query=16,
+                    window_inter_frame_asso=5, num_points=64)
+
+
+def make_batch(B, T, Hp=64, Wp=64, N=3, seed=0):
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((B, N, T, Hp, Wp), np.float32)
+    boxes = np.zeros((B, N, T, 4), np.float32)
+    labels = np.zeros((B, N), np.int32)
+    ids = np.full((B, N, T), -1, np.int32)
+    valid = np.zeros((B, N), bool)
+    for b in range(B):
+        for n in range(2):  # 2 of 3 slots valid
+            x0, y0 = rng.integers(0, Hp // 2, 2)
+            w, h = rng.integers(10, 28, 2)
+            masks[b, n, :, y0:y0 + h, x0:x0 + w] = 1.0
+            boxes[b, n, :] = [x0 / Wp, y0 / Hp, min(x0 + w, Wp) / Wp,
+                              min(y0 + h, Hp) / Hp]
+            labels[b, n] = rng.integers(0, 5)
+            ids[b, n, :] = n
+            valid[b, n] = True
+    return {
+        "images": rng.standard_normal((B * T, Hp, Wp, 3)).astype(np.float32),
+        "image_sizes": np.tile([[Hp, Wp]], (B * T, 1)).astype(np.int32),
+        "labels": labels, "ids": ids, "boxes": boxes,
+        "masks": masks, "valid": valid,
+    }
+
+
+def test_train_step_runs_and_decreases_loss():
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    tc = TrainCfg(base_lr=1e-3, steps=(1000,), max_iter=100, clip_norm=1.0)
+    tx = make_optimizer(tc)
+    opt_state = tx.init(params)
+    step = make_train_step(TINY, CRIT, tx)
+    batch = jax.tree.map(jnp.asarray, make_batch(B=2, T=2))
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(3):
+        params, opt_state, total, ldict = step(params, opt_state, batch,
+                                               jax.random.fold_in(rng, i))
+        losses.append(float(total))
+    assert all(np.isfinite(losses))
+    for k, v in jax.tree.map(float, ldict).items():
+        assert np.isfinite(v), k
+    assert losses[-1] < losses[0]  # overfitting a fixed batch reduces loss
+
+
+def test_train_step_data_parallel_mesh():
+    mesh = make_mesh()
+    assert len(mesh.devices.reshape(-1)) == 8
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    tc = TrainCfg(base_lr=1e-4)
+    tx = make_optimizer(tc)
+    opt_state = tx.init(params)
+    step = make_train_step(TINY, CRIT, tx)
+
+    batch = make_batch(B=8, T=2, seed=1)
+    with mesh:
+        sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        params_r = replicate(params, mesh)
+        opt_r = replicate(opt_state, mesh)
+        params2, opt2, total, _ = step(params_r, opt_r, sharded,
+                                       jax.random.PRNGKey(2))
+    assert np.isfinite(float(total))
