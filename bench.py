@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark: R50 f4+360p OVIS-geometry clip inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline (BASELINE.md): >= 10 clips/sec per v5e chip at clip_stride=1 —
+each clip step amortizes 1/30 of a 30-frame window encode + one clip decode +
+post-processing + host tracking, exactly the production inference loop.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from mdqe_cvpr2023_tpu.models import MDQEModelCfg, detr_init
+    from mdqe_cvpr2023_tpu.models.meta import (InferenceCfg, inference_vis,
+                                               preprocess_frames)
+
+    cfg = MDQEModelCfg(backbone="resnet50", num_classes=25, hidden_dim=256,
+                      n_heads=8, enc_layers=6, dec_layers=6, n_frames=4,
+                      n_query=196, query_embed_dim=64, dec_temporal=True)
+    inf = InferenceCfg(clip_stride=1, n_frames_test=4, n_frames_window_test=30,
+                       max_num_instances=120, apply_cls_thres=0.1,
+                       detections_per_image=15, clip_topk=32, encode_chunk=10,
+                       num_classes=25)
+
+    params = detr_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+
+    # OVIS 360p eval geometry: shorter side 360, max side 640 -> 360x640, pad /32
+    H, W = 360, 640
+    n_frames = 36
+    video = rng.integers(0, 255, (n_frames, H, W, 3)).astype(np.uint8)
+    frames, _ = preprocess_frames(video, np.array([123.675, 116.28, 103.53]),
+                                  np.array([58.395, 57.12, 57.375]))
+
+    def run():
+        return inference_vis(params, cfg, inf, frames, image_size=(H, W),
+                             ori_size=(H, W))
+
+    run()  # warm-up + compile
+    t0 = time.perf_counter()
+    n_runs = 3
+    for _ in range(n_runs):
+        run()
+    dt = time.perf_counter() - t0
+
+    n_clips = n_runs * len(range(0, n_frames, inf.clip_stride))
+    clips_per_sec = n_clips / dt
+    print(json.dumps({
+        "metric": "clips_per_sec_per_chip_r50_f4_360p",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(clips_per_sec / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
