@@ -44,9 +44,10 @@ def _listify(node):
     if not isinstance(node, dict):
         return node
     out = {k: _listify(v) for k, v in node.items()}
-    if out and all(re.fullmatch(r"\d+", k) for k in out):
+    if out and all(re.fullmatch(r"\d+", k) for k in out) \
+            and sorted(int(k) for k in out) == list(range(len(out))):
         return [out[str(i)] for i in range(len(out))]
-    return out
+    return out  # non-contiguous indices (e.g. Sequential with param-free layers)
 
 
 def convert_torch_state_dict(state_dict: Dict[str, "np.ndarray"], dtype=jnp.float32):

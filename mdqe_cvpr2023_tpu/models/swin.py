@@ -1,0 +1,247 @@
+"""SwinV2 backbone (Large), NHWC, torch-convention weights.
+
+Behavioral spec: /root/reference/mdqe/backbone/swin_transformer_v2.py:482-727 —
+cosine window attention with clamped learned logit scale (:161-164), continuous
+position bias MLP on log-scaled relative coords (:100-120), q/v-only bias (:136-141),
+shifted windows with cyclic roll + cross-window masking, PatchMerging, post-norm
+blocks (x = shortcut + norm1(attn(x))), per-stage output LayerNorms, last stage uses
+window_size // 2 (:562).
+
+Param tree mirrors the torch names (patch_embed.proj, layers.{i}.blocks.{j}.attn.*,
+layers.{i}.downsample.*, norm{i}) so released checkpoints (prefixed
+detr.backbone.0.backbone.) load via the standard converter.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import nn as fnn
+
+
+@dataclass(frozen=True)
+class SwinCfg:
+    embed_dim: int = 192
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    window_size: int = 12
+    mlp_ratio: float = 4.0
+    patch_size: int = 4
+    out_stages: Tuple[int, ...] = (1, 2, 3)  # stage3..5 = strides 8/16/32
+
+    def stage_dim(self, i):
+        return self.embed_dim * 2 ** i
+
+    def stage_window(self, i):
+        return self.window_size // 2 if i == len(self.depths) - 1 else self.window_size
+
+
+@lru_cache(maxsize=None)
+def _coords_table(wh: int, ww: int) -> np.ndarray:
+    """(1, 2wh-1, 2ww-1, 2) log-scaled relative coords (reference :103-120)."""
+    rh = np.arange(-(wh - 1), wh, dtype=np.float64)
+    rw = np.arange(-(ww - 1), ww, dtype=np.float64)
+    table = np.stack(np.meshgrid(rh, rw, indexing="ij"), axis=-1)[None]
+    table[..., 0] /= max(wh - 1, 1)
+    table[..., 1] /= max(ww - 1, 1)
+    table *= 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
+    ch, cw = np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    coords = np.stack([ch.reshape(-1), cw.reshape(-1)])  # (2, whww)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[..., 0] += wh - 1
+    rel[..., 1] += ww - 1
+    rel[..., 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (whww, whww)
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(Hp: int, Wp: int, win: int, shift: int) -> np.ndarray:
+    """(nW, win*win, win*win) additive mask (0 / -100) for shifted windows."""
+    img = np.zeros((Hp, Wp))
+    cnt = 0
+    for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+        for ws in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    mw = img.reshape(Hp // win, win, Wp // win, win).transpose(0, 2, 1, 3)
+    mw = mw.reshape(-1, win * win)
+    diff = mw[:, None, :] - mw[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_attention(p, x, win: Tuple[int, int], num_heads: int, mask=None):
+    """x (B_, N, C) windows; cosine attention with CPB (reference :136-185)."""
+    B_, N, C = x.shape
+    dh = C // num_heads
+    q_bias = p["q_bias"]
+    v_bias = p["v_bias"]
+    qkv_bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
+    qkv = jnp.einsum("bnc,oc->bno", x, p["qkv"]["weight"]) + qkv_bias
+    qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, dh)
+
+    qn = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12, None)
+    kn = k / jnp.clip(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12, None)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn)
+    logit_scale = jnp.exp(jnp.clip(p["logit_scale"], None, math.log(100.0)))
+    attn = attn * logit_scale[None]
+
+    table = jnp.asarray(_coords_table(win[0], win[1]))
+    cpb = fnn.linear(p["cpb_mlp"]["0"], table)
+    cpb = jax.nn.relu(cpb)
+    cpb = jnp.einsum("...i,oi->...o", cpb, p["cpb_mlp"]["2"]["weight"])
+    cpb = cpb.reshape(-1, num_heads)
+    idx = jnp.asarray(_rel_pos_index(win[0], win[1]).reshape(-1))
+    bias = cpb[idx].reshape(N, N, num_heads).transpose(2, 0, 1)
+    bias = 16.0 * jax.nn.sigmoid(bias)
+    attn = attn + bias[None]
+
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(B_ // nW, nW, num_heads, N, N) + mask[None, :, None]
+        attn = attn.reshape(B_, num_heads, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    return fnn.linear(p["proj"], out)
+
+
+def _block(p, x, H, W, win: int, shift: int, num_heads: int):
+    """Post-norm SwinV2 block on (B, H, W, C)."""
+    B, _, _, C = x.shape
+    shortcut = x
+
+    pad_b = (win - H % win) % win
+    pad_r = (win - W % win) % win
+    xp = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    Hp, Wp = H + pad_b, W + pad_r
+
+    if shift > 0:
+        xp = jnp.roll(xp, (-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(_shift_attn_mask(Hp, Wp, win, shift))
+    else:
+        mask = None
+
+    xw = xp.reshape(B, Hp // win, win, Wp // win, win, C).transpose(0, 1, 3, 2, 4, 5)
+    xw = xw.reshape(-1, win * win, C)
+    aw = _window_attention(p["attn"], xw, (win, win), num_heads, mask)
+    aw = aw.reshape(B, Hp // win, Wp // win, win, win, C).transpose(0, 1, 3, 2, 4, 5)
+    xp = aw.reshape(B, Hp, Wp, C)
+
+    if shift > 0:
+        xp = jnp.roll(xp, (shift, shift), axis=(1, 2))
+    x = xp[:, :H, :W]
+
+    x = shortcut + fnn.layer_norm(p["norm1"], x)
+    h = fnn.linear(p["mlp"]["fc1"], x)
+    h = jax.nn.gelu(h, approximate=False)
+    h = fnn.linear(p["mlp"]["fc2"], h)
+    x = x + fnn.layer_norm(p["norm2"], h)
+    return x
+
+
+def _patch_merge(p, x):
+    """(B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 2C)."""
+    B, H, W, C = x.shape
+    if H % 2 or W % 2:
+        x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+    x0 = x[:, 0::2, 0::2]
+    x1 = x[:, 1::2, 0::2]
+    x2 = x[:, 0::2, 1::2]
+    x3 = x[:, 1::2, 1::2]
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    x = fnn.linear(p["reduction"], x)
+    return fnn.layer_norm(p["norm"], x)
+
+
+def swin_apply(params, x, cfg: SwinCfg = SwinCfg()):
+    """x (B, H, W, 3) -> list of NHWC stage outputs (strides 8, 16, 32 for MDQE)."""
+    B, H, W, _ = x.shape
+    ps = cfg.patch_size
+    pad_b = (ps - H % ps) % ps
+    pad_r = (ps - W % ps) % ps
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    x = jax.lax.conv_general_dilated(x, params["patch_embed"]["proj"]["weight"],
+                                     (ps, ps), "VALID",
+                                     dimension_numbers=("NHWC", "OIHW", "NHWC"))
+    x = x + params["patch_embed"]["proj"]["bias"]
+    x = fnn.layer_norm(params["patch_embed"]["norm"], x)
+
+    outs = []
+    for i, depth in enumerate(cfg.depths):
+        win = cfg.stage_window(i)
+        heads = cfg.num_heads[i]
+        lp = params["layers"][i]
+        for j in range(depth):
+            shift = 0 if j % 2 == 0 else win // 2
+            x = _block(lp["blocks"][j], x, x.shape[1], x.shape[2], win, shift, heads)
+        if i in cfg.out_stages:
+            nrm = params[f"norm{i}"]
+            outs.append(fnn.layer_norm(nrm, x))
+        if "downsample" in lp:
+            x = _patch_merge(lp["downsample"], x)
+    return outs
+
+
+def _win_attn_init(key, dim, heads, win):
+    ks = jax.random.split(key, 4)
+    return {
+        "logit_scale": jnp.full((heads, 1, 1), math.log(10.0), jnp.float32),
+        "cpb_mlp": {"0": fnn.linear_init(ks[0], 2, 512),
+                    "2": {"weight": fnn.xavier_uniform(ks[1], (heads, 512))}},
+        "qkv": {"weight": fnn.xavier_uniform(ks[2], (3 * dim, dim))},
+        "q_bias": jnp.zeros((dim,), jnp.float32),
+        "v_bias": jnp.zeros((dim,), jnp.float32),
+        "proj": fnn.linear_init(ks[3], dim, dim),
+    }
+
+
+def swin_large_init(key, cfg: SwinCfg = SwinCfg()):
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+    params = {
+        "patch_embed": {
+            "proj": fnn.conv_init(next(ki), 3, cfg.embed_dim, cfg.patch_size),
+            "norm": fnn.norm_init(cfg.embed_dim),
+        },
+        "layers": [],
+    }
+    for i, depth in enumerate(cfg.depths):
+        dim = cfg.stage_dim(i)
+        d_ffn = int(dim * cfg.mlp_ratio)
+        blocks = []
+        for j in range(depth):
+            k = jax.random.split(jax.random.fold_in(keys[8 + i], j), 4)
+            blocks.append({
+                "attn": _win_attn_init(k[0], dim, cfg.num_heads[i],
+                                       cfg.stage_window(i)),
+                "norm1": fnn.norm_init(dim),
+                "mlp": {"fc1": fnn.linear_init(k[1], dim, d_ffn),
+                        "fc2": fnn.linear_init(k[2], d_ffn, dim)},
+                "norm2": fnn.norm_init(dim),
+            })
+        layer = {"blocks": blocks}
+        if i < len(cfg.depths) - 1:
+            layer["downsample"] = {
+                "reduction": {"weight": fnn.xavier_uniform(next(ki), (2 * dim, 4 * dim))},
+                "norm": fnn.norm_init(2 * dim),
+            }
+        params["layers"].append(layer)
+    for i in range(len(cfg.depths)):
+        if i in cfg.out_stages:
+            params[f"norm{i}"] = fnn.norm_init(cfg.stage_dim(i))
+    return params

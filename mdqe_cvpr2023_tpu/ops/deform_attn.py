@@ -66,8 +66,24 @@ def _level_bilinear_gather(v_l, x, y, h_l, w_l):
 
 
 def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
-                   sampling_locations, attention_weights):
-    """Fused multi-scale deformable attention (see module docstring for the contract)."""
+                   sampling_locations, attention_weights, impl: str = "auto"):
+    """Fused multi-scale deformable attention (see module docstring for the contract).
+
+    impl: 'auto' (Pallas hat-matmul kernel on TPU, XLA gather elsewhere),
+          'pallas', or 'xla'."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    if impl == "pallas":
+        from .deform_attn_pallas import ms_deform_attn_pallas
+        return ms_deform_attn_pallas(value, tuple(spatial_shapes),
+                                     sampling_locations, attention_weights)
+    return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                               attention_weights)
+
+
+def _ms_deform_attn_xla(value, spatial_shapes: Sequence[Tuple[int, int]],
+                        sampling_locations, attention_weights):
+    """XLA gather formulation (differentiable; CPU/test path and VJP fallback)."""
     B, N, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     assert L == len(spatial_shapes), (L, spatial_shapes)

@@ -6,61 +6,59 @@ for bilinear with zero padding (out-of-range corners get weight 0). Per level:
 
     out[q,d] = sum_p a[q,p] * sum_y sum_x hat_y[q,p,y] hat_x[q,p,x] V[y,x,d]
 
-Stage 1 contracts y on the MXU:  S = (hat_y * a) (Qt*P, h) @ V (h, w*D).
-Stage 2 folds hat_x into S elementwise (expanded along D with pltpu.repeat) and
-contracts x with a constant 0/1 comb matrix (w*D, D) — again on the MXU. No gather,
-no scatter; everything stays in VMEM per query tile.
+Stage 1 contracts y on the MXU:  S = (hat_y * a) (P*Qt, h) @ V (h, D*w).
+Stage 2 folds hat_x into S elementwise (tiled along D with pltpu.repeat, matching
+V's channel-major (h, D*w) layout) and contracts x with a constant 0/1 comb matrix
+(D*w, D) — again on the MXU. No gather, no scatter; everything stays in VMEM per
+query tile.
 
-Rationale: XLA's gather on this TPU sustains only ~5-10 GB/s (measured), making the
-reference's gather-style kernel ~165 ms/frame in the encoder; this formulation is
-pure MXU work (~0.5 TFLOP/layer at encoder scale) plus small VPU epilogues.
+Rationale: XLA's gather on this TPU sustains only ~5-10 GB/s / ~50-100M rows/s
+(measured), making the reference-style gather kernel ~165 ms/frame in the encoder.
+This formulation is MXU matmuls + a VPU epilogue and measures ~5.5x faster at
+encoder scale (q_tile=256, bf16 compute).
 
 Contract matches ops.deform_attn.ms_deform_attn:
   value (B, N, H, D), spatial_shapes static [(h, w)...], sampling_locations
   (B, Q, H, L, P, 2) in [0,1] (x, y), attention_weights (B, Q, H, L, P) ->
-  (B, Q, H*D).  Forward only; the VJP falls back to the XLA gather formulation.
+  (B, Q, H*D).  The VJP falls back to the XLA gather formulation (training-time
+  only, mirroring the reference's fast-kernel/oracle pairing).
 """
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .deform_attn import ms_deform_attn as _ms_deform_attn_xla
+from .deform_attn import _ms_deform_attn_xla
+
+Q_TILE = 256
 
 
-def _level_kernel(gy_ref, gx_ref, aw_ref, v_ref, comb_ref, out_ref, *, h, w, D, P,
-                  compute_dtype):
-    """Grid cell: one (b*h, q-tile). Shapes:
-    gy/gx/aw (1, Qt, P); v (1, h, w*D); comb (w*D, D); out (1, Qt, D)."""
-    Qt = gy_ref.shape[1]
-    gy = gy_ref[0]                                # (Qt, P) fp32
-    gx = gx_ref[0]
-    aw = aw_ref[0]
+def _level_kernel(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, compute_dtype):
+    """Grid cell: one (b*h, q-tile).
+    g (1, 3P, Qt): rows [gy(P); gx(P); aw(P)] — p-major, lane dim = Qt (aligned).
+    v (1, h, D*w) channel-major; comb (D*w, D); out (1, Qt, D)."""
+    g = g_ref[0]
+    Qt = g.shape[1]
+    gy = g[:P]
+    gx = g[P:2 * P]
+    aw = g[2 * P:3 * P]
 
-    # build hats in 3D (lane dim = h/w), then merge leading dims (layout-free)
-    iy = jax.lax.broadcasted_iota(jnp.int32, (Qt, P, h), 2).astype(jnp.float32)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h), 2).astype(jnp.float32)
     hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy[..., None])) * aw[..., None]
-    hat_y = hat_y.reshape(Qt * P, h)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (Qt, P, w), 2).astype(jnp.float32)
-    hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None]))
-    hat_x = hat_x.reshape(Qt * P, w)
+    hat_y = hat_y.reshape(P * Qt, h)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w), 2).astype(jnp.float32)
+    hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None])).reshape(P * Qt, w)
 
-    # V is laid out (h, D*w) so the D-fold tiling of hat_x (pltpu.repeat tiles the
-    # whole vector) lines up with channel-major columns d*w + x.
-    v = v_ref[0]                                                    # (h, D*w)
-    s = jnp.dot(hat_y.astype(compute_dtype), v.astype(compute_dtype),
-                preferred_element_type=jnp.float32)                 # (QtP, D*w)
-
-    hat_x_exp = pltpu.repeat(hat_x, D, axis=1)                      # (QtP, D*w)
-    t = s * hat_x_exp
-    outp = jnp.dot(t.astype(compute_dtype), comb_ref[:].astype(compute_dtype),
-                   preferred_element_type=jnp.float32)              # (QtP, D)
-    out_ref[0] = outp.reshape(Qt, P, D).sum(axis=1)
+    s = jnp.dot(hat_y.astype(compute_dtype), v_ref[0].astype(compute_dtype),
+                preferred_element_type=jnp.float32)                 # (PQt, D*w)
+    t = s.astype(compute_dtype) * pltpu.repeat(hat_x.astype(compute_dtype), D, axis=1)
+    outp = jnp.dot(t, comb_ref[:].astype(compute_dtype),
+                   preferred_element_type=jnp.float32)              # (PQt, D)
+    out_ref[0] = outp.reshape(P, Qt, D).sum(axis=0)
 
 
 def _round_up(x, m):
@@ -69,10 +67,9 @@ def _round_up(x, m):
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "P", "q_tile",
                                              "compute_dtype_name"))
-def _deform_attn_level(v, gy, gx, aw, *, h, w, P, q_tile, compute_dtype_name):
-    """v (BH, h, w*D); gy/gx/aw (BH, Qp, P) fp32 with Qp % q_tile == 0.
-    Returns (BH, Qp, D) fp32."""
-    BH, Qp, _ = gy.shape
+def _deform_attn_level(v, g, *, h, w, P, q_tile, compute_dtype_name):
+    """v (BH, h, D*w); g (BH, 3P, Qp) fp32, Qp % q_tile == 0 -> (BH, Qp, D) f32."""
+    BH, _, Qp = g.shape
     D = v.shape[2] // w
     compute_dtype = jnp.dtype(compute_dtype_name)
     # comb[d*w + x, d] = 1: contracts x while keeping the channel d
@@ -80,19 +77,14 @@ def _deform_attn_level(v, gy, gx, aw, *, h, w, P, q_tile, compute_dtype_name):
             == jax.lax.broadcasted_iota(jnp.int32, (D * w, D), 1)
             ).astype(compute_dtype)
 
-    grid = (BH, Qp // q_tile)
     flops = 2 * BH * Qp * P * (h + D) * w * D
     return pl.pallas_call(
         functools.partial(_level_kernel, h=h, w=w, D=D, P=P,
                           compute_dtype=compute_dtype),
         out_shape=jax.ShapeDtypeStruct((BH, Qp, D), jnp.float32),
-        grid=grid,
+        grid=(BH, Qp // q_tile),
         in_specs=[
-            pl.BlockSpec((1, q_tile, P), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_tile, P), lambda b, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q_tile, P), lambda b, q: (b, q, 0),
+            pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, D * w), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -101,9 +93,11 @@ def _deform_attn_level(v, gy, gx, aw, *, h, w, P, q_tile, compute_dtype_name):
         ],
         out_specs=pl.BlockSpec((1, q_tile, D), lambda b, q: (b, q, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=v.size * 2,
                                       transcendentals=0),
-    )(gy, gx, aw, v, comb)
+    )(g, v, comb)
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -125,22 +119,29 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
         hw = int(h_l) * int(w_l)
         v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=1)
         start += hw
-        # channel-major (h, D*w) layout — see kernel comment
+        # channel-major (h, D*w) layout — see kernel docstring
         v_l = v_l.reshape(BH, h_l, w_l, D).transpose(0, 1, 3, 2)
         v_l = v_l.reshape(BH, h_l, D * w_l)
 
-        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 1, 3).reshape(BH, Q, P)
-        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 1, 3).reshape(BH, Q, P)
-        aw = attw[:, :, :, l].transpose(0, 2, 1, 3).reshape(BH, Q, P)
+        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 3, 1).reshape(BH, P, Q)
+        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 3, 1).reshape(BH, P, Q)
+        aw = attw[:, :, :, l].transpose(0, 2, 3, 1).reshape(BH, P, Q)
         gy = gy * h_l - 0.5
         gx = gx * w_l - 0.5
         if pad_q:
-            padv = ((0, 0), (0, pad_q), (0, 0))
+            padv = ((0, 0), (0, 0), (0, pad_q))
             gy = jnp.pad(gy, padv, constant_values=-10.0)
             gx = jnp.pad(gx, padv, constant_values=-10.0)
             aw = jnp.pad(aw, padv)
-        out = out + _deform_attn_level(v_l, gy, gx, aw, h=int(h_l), w=int(w_l), P=P,
-                                       q_tile=q_tile,
+        g = jnp.concatenate([gy, gx, aw], axis=1)  # (BH, 3P, Qp)
+        # scale the query tile so the stage-1 buffer (P*Qt x D*w) stays ~constant;
+        # small levels otherwise drown in per-grid-cell overhead
+        qt_l = q_tile
+        while qt_l * 2 <= Qp and P * qt_l * 2 * D * w_l * 4 <= 5 * 2 ** 20 \
+                and Qp % (qt_l * 2) == 0 and qt_l < 1024:
+            qt_l *= 2
+        out = out + _deform_attn_level(v_l, g, h=int(h_l), w=int(w_l), P=P,
+                                       q_tile=qt_l,
                                        compute_dtype_name=compute_dtype_name)
 
     out = out[:, :Q].reshape(B, H, Q, D).transpose(0, 2, 1, 3)
@@ -149,10 +150,9 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
-                          attention_weights, q_tile: int = 128,
+                          attention_weights, q_tile: int = Q_TILE,
                           compute_dtype_name: str = "bfloat16"):
-    """Pallas hat-matmul forward; VJP falls back to the XLA gather formulation
-    (mirrors the reference pairing of fast kernel + autograd-capable oracle)."""
+    """Pallas hat-matmul forward; VJP falls back to the XLA gather formulation."""
     return _forward(value, spatial_shapes, sampling_locations, attention_weights,
                     q_tile, compute_dtype_name)
 

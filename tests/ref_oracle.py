@@ -80,6 +80,88 @@ def _load_mod(name, path):
     return mod
 
 
+def _install_timm_d2_shims():
+    """Minimal fakes for timm.models.layers and the detectron2 symbols the
+    reference Swin backbone imports (eval-mode parity only)."""
+    import torch.nn as nn
+
+    if "timm" in sys.modules:
+        return
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    layers = types.ModuleType("timm.models.layers")
+
+    class DropPath(nn.Identity):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+    def trunc_normal_(tensor, std=0.02):
+        return tensor.data.normal_(0, std)
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = trunc_normal_
+    models.layers = layers
+    timm.models = models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = models
+    sys.modules["timm.models.layers"] = layers
+
+    d2 = types.ModuleType("detectron2")
+    modeling = types.ModuleType("detectron2.modeling")
+    backbone_m = types.ModuleType("detectron2.modeling.backbone")
+    build_m = types.ModuleType("detectron2.modeling.backbone.build")
+    fpn_m = types.ModuleType("detectron2.modeling.backbone.fpn")
+    layers_m = types.ModuleType("detectron2.layers")
+
+    class Backbone(nn.Module):
+        pass
+
+    class _Registry:
+        def register(self, *a, **k):
+            def deco(f):
+                return f
+            return deco(a[0]) if a and callable(a[0]) else deco
+
+    class ShapeSpec:
+        def __init__(self, channels=None, stride=None, height=None, width=None):
+            self.channels, self.stride = channels, stride
+
+    backbone_m.Backbone = Backbone
+    build_m.BACKBONE_REGISTRY = _Registry()
+    fpn_m.FPN = object
+    fpn_m.LastLevelMaxPool = object
+    layers_m.ShapeSpec = ShapeSpec
+    modeling.backbone = backbone_m
+    d2.modeling = modeling
+    sys.modules["detectron2"] = d2
+    sys.modules["detectron2.modeling"] = modeling
+    sys.modules["detectron2.modeling.backbone"] = backbone_m
+    sys.modules["detectron2.modeling.backbone.build"] = build_m
+    sys.modules["detectron2.modeling.backbone.fpn"] = fpn_m
+    sys.modules["detectron2.layers"] = layers_m
+
+
+def load_reference_swin():
+    """Loads the reference SwinTransformerV2 class with shimmed deps."""
+    if "swin" in _loaded:
+        return _loaded["swin"]
+    _install_timm_d2_shims()
+    pkg = types.ModuleType("refmdqe.backbone")
+    pkg.__path__ = [REF_ROOT + "/mdqe/backbone"]
+    sys.modules.setdefault("refmdqe", types.ModuleType("refmdqe"))
+    sys.modules["refmdqe"].__path__ = [REF_ROOT + "/mdqe"]
+    sys.modules["refmdqe.backbone"] = pkg
+    mod = _load_mod("refmdqe.backbone.swin_transformer_v2",
+                    REF_ROOT + "/mdqe/backbone/swin_transformer_v2.py")
+    _loaded["swin"] = mod.SwinTransformerV2
+    return mod.SwinTransformerV2
+
+
 _loaded = {}
 
 

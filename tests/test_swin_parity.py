@@ -1,0 +1,43 @@
+"""SwinV2 backbone activation parity vs the reference torch implementation."""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+REF_AVAILABLE = os.path.isdir("/root/reference/mdqe")
+pytestmark = pytest.mark.skipif(not REF_AVAILABLE, reason="reference not mounted")
+
+if REF_AVAILABLE:
+    from ref_oracle import load_reference_swin
+
+from mdqe_cvpr2023_tpu.engine.checkpoint import convert_torch_state_dict
+from mdqe_cvpr2023_tpu.models.swin import SwinCfg, swin_apply
+
+
+def test_swin_tiny_geometry_parity():
+    SwinV2 = load_reference_swin()
+    torch.manual_seed(0)
+    cfg = SwinCfg(embed_dim=32, depths=(2, 2, 2), num_heads=(2, 4, 8),
+                  window_size=4, out_stages=(0, 1, 2))
+    ref = SwinV2(patch_size=4, embed_dim=32, depths=[2, 2, 2], num_heads=[2, 4, 8],
+                 window_size=4, drop_path_rate=0.0,
+                 out_features=["stage2", "stage3", "stage4"])
+    ref.eval()  # (the reference's train() override returns None, no chaining)
+
+    sd = {"detr.backbone.0.backbone." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params = convert_torch_state_dict(sd)["backbone"]
+
+    rng = np.random.default_rng(0)
+    # non-multiple-of-window spatial size exercises padding + shifted masks
+    x = rng.standard_normal((2, 40, 52, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)).contiguous())
+
+    outs = swin_apply(params, jnp.asarray(x), cfg)
+    for i, name in enumerate(["stage2", "stage3", "stage4"]):
+        exp = expected[name].numpy()
+        got = np.moveaxis(np.asarray(outs[i]), -1, 1)
+        np.testing.assert_allclose(got, exp, atol=2e-4, rtol=2e-4), name
