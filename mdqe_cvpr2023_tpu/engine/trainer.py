@@ -1,0 +1,237 @@
+"""Training / evaluation driver (the reference's Trainer on D2 DefaultTrainer,
+train_net.py:46-221, rebuilt TPU-native: data-parallel jit train step over a device
+mesh, orbax checkpointing, periodic dev-split eval, jax.profiler tracing hooks)."""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import rle as rle_util
+from ..data.augmentation import AugmentationPipeline
+from ..data.builtin import CATEGORY_MAPS, get_dataset
+from ..data.dataset import ClipMapper, CombinedClipLoader
+from ..data.ytvis_eval import YTVISEvaluator
+from ..losses import CriterionCfg
+from ..models.detr import detr_init
+from ..models.meta import InferenceCfg, inference_vis, preprocess_frames
+from ..parallel.train import (TrainCfg, make_mesh, make_optimizer, make_train_step,
+                              replicate, shard_batch)
+from .build import (build_criterion_cfg, build_inference_cfg, build_model_cfg,
+                    build_train_cfg)
+from .checkpoint import load_torch_checkpoint
+
+
+class Trainer:
+    def __init__(self, cfg, datasets_root: Optional[str] = None):
+        self.cfg = cfg
+        self.model_cfg = build_model_cfg(cfg)
+        self.crit_cfg = build_criterion_cfg(cfg)
+        self.train_cfg = build_train_cfg(cfg)
+        self.inf_cfg = build_inference_cfg(cfg)
+        self.datasets_root = datasets_root
+        self.output_dir = cfg.OUTPUT_DIR
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        self.mesh = make_mesh()
+        self.params = self._init_or_load_params(cfg)
+        self.tx = make_optimizer(self.train_cfg)
+        self.opt_state = self.tx.init(self.params)
+        self.step_fn = make_train_step(self.model_cfg, self.crit_cfg, self.tx,
+                                       match_stride=cfg.MODEL.MDQE.MATCH_STRIDE)
+        self.iteration = 0
+
+    # ------------------------------------------------------------------
+    def _init_or_load_params(self, cfg):
+        params = detr_init(jax.random.PRNGKey(cfg.get("SEED", 0)), self.model_cfg)
+        weights = cfg.MODEL.WEIGHTS
+        if weights and os.path.exists(weights):
+            loaded = load_torch_checkpoint(
+                weights,
+                f_pretrain=cfg.INPUT.PRETRAIN_FRAME_NUM,
+                f_target=cfg.INPUT.SAMPLING_FRAME_NUM)
+            params = _merge_params(params, loaded)
+        return params
+
+    # ------------------------------------------------------------------
+    def build_train_loader(self):
+        cfg = self.cfg
+        n_frames = cfg.INPUT.SAMPLING_FRAME_NUM
+        sources = []
+        for name in cfg.DATASETS.TRAIN:
+            records = get_dataset(name, self.datasets_root)
+            pseudo = name.startswith("coco")
+            inp = cfg.INPUT.PSEUDO if pseudo else cfg.INPUT
+            aug = AugmentationPipeline(
+                min_sizes=list(inp.MIN_SIZE_TRAIN),
+                max_size=inp.MAX_SIZE_TRAIN,
+                crop_enabled=inp.CROP.ENABLED,
+                crop_type=inp.CROP.TYPE,
+                crop_size=tuple(inp.CROP.SIZE),
+                rotation="rotation" in inp.AUGMENTATIONS,
+                color_kinds=[a for a in inp.AUGMENTATIONS if a != "rotation"],
+            )
+            mapper = ClipMapper(aug, n_frames, cfg.INPUT.SAMPLING_FRAME_RANGE,
+                                pseudo=pseudo)
+            sources.append((records, mapper))
+        ratios = cfg.DATASETS.DATASET_RATIO or [1.0] * len(sources)
+        n_dev = len(jax.devices())
+        batch = max(cfg.SOLVER.IMS_PER_BATCH // max(n_dev, 1), 1) * n_dev
+        # fixed padded size = largest train resolution bucket (stable jit shapes)
+        max_short = max(cfg.INPUT.MIN_SIZE_TRAIN)
+        pad = lambda v: -(-v // 32) * 32
+        pad_hw = (pad(max_short), pad(cfg.INPUT.MAX_SIZE_TRAIN))
+        return CombinedClipLoader(sources, ratios, batch,
+                                  cfg.MODEL.MDQE.MAX_NUM_INSTANCES // 6 or 20,
+                                  seed=cfg.get("SEED", 0), pad_hw=pad_hw)
+
+    # ------------------------------------------------------------------
+    def train(self, max_iter: Optional[int] = None, log_every: int = 20,
+              profile_at: Optional[int] = None):
+        loader = iter(self.build_train_loader())
+        max_iter = max_iter or self.train_cfg.max_iter
+        ckpt_period = self.cfg.SOLVER.CHECKPOINT_PERIOD
+        eval_period = self.cfg.TEST.EVAL_PERIOD
+        rng = jax.random.PRNGKey(17)
+
+        with self.mesh:
+            params = replicate(self.params, self.mesh)
+            opt_state = replicate(self.opt_state, self.mesh)
+            t_last = time.perf_counter()
+            while self.iteration < max_iter:
+                if profile_at is not None and self.iteration == profile_at:
+                    jax.profiler.start_trace(os.path.join(self.output_dir, "trace"))
+                batch = shard_batch(jax.tree.map(jnp.asarray, next(loader)),
+                                    self.mesh)
+                params, opt_state, total, ldict = self.step_fn(
+                    params, opt_state, batch, jax.random.fold_in(rng, self.iteration))
+                self.iteration += 1
+                if profile_at is not None and self.iteration == profile_at + 3:
+                    jax.block_until_ready(total)
+                    jax.profiler.stop_trace()
+                if self.iteration % log_every == 0:
+                    dt = (time.perf_counter() - t_last) / log_every
+                    t_last = time.perf_counter()
+                    print(f"iter {self.iteration}  loss {float(total):.4f}  "
+                          f"{dt:.2f}s/it", flush=True)
+                if self.iteration % ckpt_period == 0 or self.iteration == max_iter:
+                    self.params = params
+                    self.opt_state = opt_state
+                    self.save_checkpoint()
+                if eval_period > 0 and self.iteration % eval_period == 0:
+                    self.params = params
+                    self.test()
+        self.params = params
+        self.opt_state = opt_state
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(os.path.join(self.output_dir,
+                                            f"ckpt_{self.iteration:07d}"))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.params, "step": self.iteration}, force=True)
+        ckptr.wait_until_finished()
+        print(f"saved checkpoint {path}", flush=True)
+
+    def load_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path))
+        self.params = restored["params"]
+        self.iteration = int(restored.get("step", 0))
+
+    # ------------------------------------------------------------------
+    def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None):
+        """Run VIS inference over a test split and compute AP (when GT has
+        annotations). Returns (metrics, predictions)."""
+        cfg = self.cfg
+        name = dataset_name or cfg.DATASETS.TEST[0]
+        from ..data.builtin import DATASET_SPLITS
+        root = self.datasets_root or os.environ.get("MDQE_DATASETS_ROOT", "datasets")
+        image_root, json_path = DATASET_SPLITS[name]
+        json_path = os.path.join(root, json_path)
+        image_root = os.path.join(root, image_root)
+        with open(json_path) as f:
+            gt_json = json.load(f)
+
+        records = get_dataset(name, root)
+        if max_videos:
+            records = records[:max_videos]
+        predictions = self.predict_videos(records)
+
+        metrics = None
+        if gt_json.get("annotations"):
+            ev = YTVISEvaluator(gt_json)
+            metrics = ev.evaluate(predictions)
+            print({k: round(v, 2) for k, v in metrics.items()
+                   if not isinstance(v, dict)}, flush=True)
+        out = os.path.join(self.output_dir, f"results_{name}.json")
+        with open(out, "w") as f:
+            json.dump(predictions, f)
+        return metrics, predictions
+
+    def predict_videos(self, records: List[Dict]) -> List[Dict]:
+        from ..data.dataset import read_image
+        cfg = self.cfg
+        mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        min_test = cfg.INPUT.MIN_SIZE_TEST
+        max_test = cfg.INPUT.get("MAX_SIZE_TEST", 1333)
+        predictions = []
+        for rec in records:
+            frames = []
+            H, W = rec["height"], rec["width"]
+            scale = min_test / min(H, W)
+            if max(H, W) * scale > max_test:
+                scale = max_test / max(H, W)
+            th, tw = int(round(H * scale)), int(round(W * scale))
+            for fp in rec["file_names"]:
+                img = read_image(fp)
+                frames.append(_resize(img, th, tw))
+            video = np.stack(frames)
+            proc, _ = preprocess_frames(video, mean, std)
+            out = inference_vis(self.params, self.model_cfg, self.inf_cfg, proc,
+                                image_size=(th, tw), ori_size=(H, W))
+            for score, label, mask in zip(out["pred_scores"], out["pred_labels"],
+                                          out["pred_masks"]):
+                predictions.append({
+                    "video_id": rec["video_id"],
+                    "category_id": int(label) + 1,  # back to 1-based json ids
+                    "score": float(score),
+                    "segmentations": [rle_util.encode(m) for m in mask],
+                })
+        return predictions
+
+
+def _resize(img, h, w):
+    try:
+        import cv2
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    except Exception:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+
+
+def _merge_params(init_params, loaded):
+    """Overlay loaded leaves onto the initialized tree (missing keys keep init)."""
+    if isinstance(init_params, dict) and isinstance(loaded, dict):
+        out = {}
+        for k, v in init_params.items():
+            out[k] = _merge_params(v, loaded[k]) if k in loaded else v
+        return out
+    if isinstance(init_params, list) and isinstance(loaded, list):
+        return [_merge_params(a, b) for a, b in zip(init_params, loaded)]
+    if loaded is None:
+        return init_params
+    if hasattr(loaded, "shape") and hasattr(init_params, "shape") \
+            and tuple(loaded.shape) != tuple(init_params.shape):
+        print(f"[checkpoint] shape mismatch {loaded.shape} vs {init_params.shape}; "
+              "keeping init", flush=True)
+        return init_params
+    return loaded
