@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..utils.misc import aligned_bilinear, interpolate_nearest
 from ..tracking import ClipResults, OverTracker
+from ..tracking.mask_memory import mem_finalize_masks
 from .decoder import decoder_apply
 from .detr import MDQEModelCfg, detr_encode, detr_mask_feats
 
@@ -230,16 +231,17 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         res = decode_and_postprocess_clip(params, model_cfg, clip_enc, clip_maskflat,
                                           shapes, clip_maskf, T_clip,
                                           inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
-        res = jax.tree.map(np.asarray, res)
-        valid = res["valid"]
-        # (k, T, H, W) -> NHWC einsum output is (k,T,H,W) already
+        # only small metadata crosses to the host; masks stay on device
+        meta_np = {k: np.asarray(res[k]) for k in
+                   ("scores", "classes", "cls_probs", "query_embeds", "valid")}
         clip_res = ClipResults(
             frame_idx=list(range(start_idx, end_idx)),
-            scores=res["scores"][valid],
-            classes=res["classes"][valid],
-            cls_probs=res["cls_probs"][valid],
-            mask_logits=res["masks"][valid][:, :real_T],
-            query_embeds=res["query_embeds"][valid],
+            scores=meta_np["scores"],
+            classes=meta_np["classes"],
+            cls_probs=meta_np["cls_probs"],
+            mask_logits=res["masks"],
+            query_embeds=meta_np["query_embeds"],
+            valid=meta_np["valid"],
         )
 
         if tracker is None:
@@ -251,16 +253,18 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
 
         is_output = start_idx + stride >= W_win * (saved_clips + 1)
         if is_last_clip or is_output:
-            out_cls, out_masks = tracker.get_result(is_last_clip=is_last_clip)
-            # stride-4 logits -> full-res probability maps, cropped to true size
-            if out_masks.shape[0] > 0:
-                m = jnp.asarray(out_masks)
-                m = aligned_bilinear(m, inf_cfg.match_stride)
-                m = jax.nn.sigmoid(m)[..., :image_size[0], :image_size[1]]
-                pred_masks_clips.append(np.asarray(m))
+            out_cls, avg_logits, len_frames = tracker.get_result(
+                is_last_clip=is_last_clip)
+            n = out_cls.shape[0]
+            if n > 0:
+                packed = mem_finalize_masks(
+                    avg_logits[:, :max(len_frames, 1)], inf_cfg.match_stride,
+                    tuple(image_size), tuple(ori_size))
+                packed_np = np.asarray(packed[:n, :len_frames])  # (n, len, oh, ow/8)
             else:
-                pred_masks_clips.append(
-                    np.zeros((0, out_masks.shape[1]) + tuple(image_size), np.float32))
+                packed_np = np.zeros((0, len_frames, ori_size[0],
+                                      -(-ori_size[1] // 8)), np.uint8)
+            pred_masks_clips.append(packed_np)
             pred_cls_clips.append(out_cls)
             saved_clips += 1
 
@@ -270,8 +274,10 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     return inference_video(inf_cfg, ori_size, pred_cls_clips, pred_masks_clips)
 
 
-def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips, pred_masks_clips):
-    """Merge per-window results into final video predictions (reference :430-471)."""
+def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
+                    pred_masks_clips):
+    """Merge per-window results into final video predictions (reference :430-471).
+    pred_masks_clips hold bit-packed binary masks at original size per window."""
     total = pred_cls_clips[-1].shape[0]
     padded_cls = []
     for cls in pred_cls_clips:
@@ -280,14 +286,6 @@ def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips, pred_masks_
                                                         cls.dtype)]))
     cls_stack = np.stack(padded_cls)  # (W, N, K)
     out_cls = 0.75 * cls_stack.mean(0) + 0.25 * cls_stack.max(0)
-
-    masks_video = []
-    for idx in range(total):
-        parts = [m[idx] if idx < m.shape[0]
-                 else np.zeros_like(m[0]) if m.shape[0] > 0
-                 else np.zeros(m.shape[1:], np.float32)
-                 for m in pred_masks_clips]
-        masks_video.append(np.concatenate(parts, axis=0))  # (T_total, h, w)
 
     K = out_cls.shape[1]
     labels = np.tile(np.arange(K), total)
@@ -298,11 +296,17 @@ def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips, pred_masks_
     out_labels = labels[top_idx].tolist()
     inst_idx = top_idx // K
 
+    ow = ori_size[1]
     out_masks = []
     for i in inst_idx:
-        m = jnp.asarray(masks_video[i])[None]
-        m = interpolate_nearest(m, ori_size)[0]
-        out_masks.append(np.asarray(m > 0.5))
+        parts = []
+        for m in pred_masks_clips:
+            if i < m.shape[0]:
+                unpacked = np.unpackbits(m[i], axis=-1)[..., :ow].astype(bool)
+            else:
+                unpacked = np.zeros((m.shape[1],) + tuple(ori_size), bool)
+            parts.append(unpacked)
+        out_masks.append(np.concatenate(parts, axis=0))  # (T_total, oh, ow) bool
 
     return {
         "image_size": ori_size,

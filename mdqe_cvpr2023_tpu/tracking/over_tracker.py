@@ -6,22 +6,25 @@ long(15-clip)/short memories; Hungarian assignment with thresholds; repeated-det
 suppression; new-ID registration; exponentially-weighted embedding memory; windowed
 results with residual-frame rollover.
 
-TPU redesign: the reference stores per-clip mask logits
-(num_clips x max_inst x mem_length x H x W ~ 7.5 GB at 360p) and averages at the end.
-All reductions it ever performs are clip-sums, so we keep *running sums and counts*
-instead (mask memory is max_inst x mem_length x H x W ~ 235 MB) — numerically
-identical output, 32x less memory. Per-clip granularity is only needed for the last
-<=3 clips' query embeds/cls, kept in a small ring buffer. The tracker runs host-side
-(numpy + scipy Hungarian) on small arrays; the device only ships each clip's top-k
-detections, keeping HBM for the model.
+TPU redesign:
+  - The reference stores per-clip mask logits (num_clips x max_inst x mem_length x
+    HxW ~ 7.5 GB at 360p) and averages at the end. Every reduction it performs is a
+    clip-sum, so we keep *running sums and counts* — numerically identical, 32x less
+    memory — and keep them ON DEVICE (tracking/mask_memory.py): the host receives
+    only (M x K) similarity matrices per clip and bit-packed binary masks per window.
+  - Embeddings/classes/scores and the Hungarian assignment are tiny and stay host-side
+    numpy (as in the reference, which also runs scipy on host).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List
+from dataclasses import dataclass
+from typing import List, Optional
 
 import numpy as np
+import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
+
+from .mask_memory import mem_average, mem_rollover, mem_siou, mem_update
 
 
 def ctt_similarity(saved_embeds: np.ndarray, input_embeds: np.ndarray) -> np.ndarray:
@@ -43,23 +46,22 @@ def _softmax(x, axis):
     return e / e.sum(axis=axis, keepdims=True)
 
 
-def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
-
-
 @dataclass
 class ClipResults:
-    """One clip's device outputs, already filtered/top-k'd (host numpy)."""
-    frame_idx: List[int]
-    scores: np.ndarray        # (N,)
-    classes: np.ndarray       # (N,)
-    cls_probs: np.ndarray     # (N, K)
-    mask_logits: np.ndarray   # (N, T, H, W) stride-4 logits
-    query_embeds: np.ndarray  # (N, C)
+    """One clip's outputs. Host metadata is numpy with a fixed detection capacity K;
+    mask_logits stays a device array (K, T, H, W) at stride 4 (jnp on TPU; numpy is
+    accepted and converted)."""
+    frame_idx: List[int]          # real frames covered (may be < T for last clip)
+    scores: np.ndarray            # (K,)
+    classes: np.ndarray           # (K,)
+    cls_probs: np.ndarray         # (K, Kcls)
+    mask_logits: "jnp.ndarray"    # (K, T, H, W)
+    query_embeds: np.ndarray      # (K, C)
+    valid: np.ndarray             # (K,) bool
 
     @property
     def num_instance(self) -> int:
-        return len(self.scores)
+        return int(self.valid.sum())
 
 
 class OverTracker:
@@ -86,32 +88,34 @@ class OverTracker:
         self.beta_ctt = 1.0
         self.num_clip_mem_long = 15 // clip_stride
         self.num_clip_mem_short = max(num_frames, 5) // clip_stride
-        self.ring = max(3, (num_frames - 1) // clip_stride, 3)  # per-clip ring size
+        self.ring = max(3, (num_frames - 1) // clip_stride)
         self.weights_mem = np.exp(np.arange(self.num_clip_mem_long) * 0.25)
 
         self.untracked_clips = np.zeros(num_max_inst, np.float64)
         self.embeds_mem = np.zeros((num_max_inst, embed_dim), np.float32)
-        self._init_memory(is_first=True)
+        self._init_host_memory(is_first=True)
+        self._init_device_memory()
 
     # ------------------------------------------------------------------
-    def _init_memory(self, is_first: bool):
-        M, L = self.num_max_inst, self.mem_length
+    def _init_device_memory(self):
+        M1 = self.num_max_inst + 1  # extra dump row for unmatched detections
         H, W = self.mask_size
+        self.logit_sum = jnp.zeros((M1, self.mem_length, H, W), jnp.float32)
+        self.valid_count = jnp.zeros((M1, self.mem_length), jnp.float32)
+
+    def _init_host_memory(self, is_first: bool):
+        M = self.num_max_inst
         self.num_clip = 0 if is_first else 1
         if not is_first:
             self.start_frame += self.window_frames
-        self.saved_idx_set.difference_update(
-            set(f for f in self.saved_idx_set if f < self.start_frame))
-
-        self.logit_sum = np.zeros((M, L, H, W), np.float32)       # sum over clips
-        self.valid_count = np.zeros((M, L), np.float32)           # per (inst, frame)
-        self.valid_any = np.zeros((M, L), bool)
-        self.clip_count = np.zeros((M,), np.float32)              # clips where matched
+        self.saved_idx_set = set(f for f in self.saved_idx_set
+                                 if f >= self.start_frame)
+        self.clip_count = np.zeros((M,), np.float32)
         self.cls_sum = np.zeros((M, self.num_classes), np.float32)
-        # ring of last few clips' embeds (oldest..newest) + validity
         self.ring_embeds = np.zeros((self.ring, M, self.embed_dim), np.float32)
         self.ring_valid = np.zeros((self.ring, M), bool)
-        self.saved_frame_idx = list(range(self.start_frame, self.start_frame + L))
+        self.saved_frame_idx = list(range(self.start_frame,
+                                          self.start_frame + self.mem_length))
 
     def _push_ring(self, embeds_row, valid_row):
         self.ring_embeds = np.roll(self.ring_embeds, -1, axis=0)
@@ -119,90 +123,51 @@ class OverTracker:
         self.ring_embeds[-1] = embeds_row
         self.ring_valid[-1] = valid_row
 
-    def _update_memory(self, r_idx, c_idx, clip: ClipResults):
-        if len(r_idx) == 0:
-            self._push_ring(np.zeros((self.num_max_inst, self.embed_dim), np.float32),
-                            np.zeros(self.num_max_inst, bool))
-            self.untracked_clips += 1
-            return
-        r = np.asarray(r_idx)
-        c = np.asarray(c_idx)
-        f0 = max(min(clip.frame_idx) - self.start_frame, 0)
-        f1 = max(clip.frame_idx) - self.start_frame
-        i0 = clip.frame_idx.index(self.saved_frame_idx[f0])
-        i1 = clip.frame_idx.index(self.saved_frame_idx[f1])
-
-        self.logit_sum[r, f0:f1 + 1] += clip.mask_logits[c, i0:i1 + 1]
-        self.valid_count[r, f0:f1 + 1] += 1.0
-        self.valid_any[r, f0:f1 + 1] = True
-        self.clip_count[r] += 1.0
-        self.cls_sum[r] += clip.cls_probs[c]
-
-        embeds_row = np.zeros((self.num_max_inst, self.embed_dim), np.float32)
-        valid_row = np.zeros(self.num_max_inst, bool)
-        embeds_row[r] = clip.query_embeds[c]
-        valid_row[r] = True
-        self._push_ring(embeds_row, valid_row)
-
-        self.untracked_clips += 1
-        self.untracked_clips[r] = 0
-
-        # weighted long-term embedding memory over the last <=3 clips (reference :81-88)
-        nc = min(self.num_clip + 1, 3, self.ring)
-        emb = self.ring_embeds[-nc:][:, r]               # (nc, n, E)
-        vw = self.ring_valid[-nc:][:, r, None].astype(np.float32)
-        w = self.weights_mem[:nc].reshape(-1, 1, 1)
-        denom = np.clip((vw * w).sum(0), 1.0, None)
-        self.embeds_mem[r] = (emb * w).sum(0) / denom
-
     # ------------------------------------------------------------------
-    def _get_siou(self, saved_masks, input_masks):
-        """Soft-IoU between thresholded sigmoid masks (reference :92-113)."""
-        im = (input_masks.reshape(input_masks.shape[0], -1) > 0.5).astype(np.float32)
-        sm = (saved_masks.reshape(saved_masks.shape[0], -1) > 0.5).astype(np.float32)
-        inter = sm @ im.T
-        valid = (sm.any(axis=-1)[:, None] & im.any(axis=-1)[None]).astype(np.float32)
-        union = sm.sum(-1)[:, None] + im.sum(-1)[None] - inter
-        return np.where(valid > 0, inter / (union + 1e-6), 0.0)
-
     def update(self, clip: ClipResults):
-        n_in = clip.num_instance
-        siou_scores = np.zeros((max(self.num_inst, 1), max(n_in, 1)), np.float32)
-        scores_mem = np.zeros((max(self.num_inst, 1), max(n_in, 1)), np.float32)
+        K = clip.valid.shape[0]
+        det_idx = np.nonzero(clip.valid)[0]
+        n_in = len(det_idx)
+        f0 = max(min(clip.frame_idx) - self.start_frame, 0)
+        real_T = len(clip.frame_idx)
+        T = clip.mask_logits.shape[1]
+
+        siou_scores = np.zeros((max(self.num_inst, 1), K), np.float32)
+        scores_mem = np.zeros((max(self.num_inst, 1), K), np.float32)
 
         if self.num_inst == 0:
-            matched_ID = list(range(n_in))
-            matched_idx = list(range(n_in))
-            self.num_inst = n_in
-            new_assign = []
+            matched_ID = list(range(n_in))[:self.num_max_inst]
+            matched_det = det_idx.tolist()[:self.num_max_inst]
+            self.num_inst = len(matched_ID)
+            new_assign: List[int] = []
         else:
             emb_mem = self.embeds_mem[:self.num_inst]
             long_ok = np.nonzero(self.untracked_clips[:self.num_inst]
                                  < self.num_clip_mem_long)[0]
             short_ok = np.nonzero(self.untracked_clips[:self.num_inst]
                                   < self.num_clip_mem_short)[0]
-            scores_mem = np.zeros((self.num_inst, n_in), np.float32)
+            scores_mem = np.zeros((self.num_inst, K), np.float32)
             if n_in > 0:
+                emb_in = clip.query_embeds[det_idx]
                 if len(long_ok) > 0:
-                    scores_mem[long_ok] = ctt_similarity(emb_mem[long_ok],
-                                                         clip.query_embeds)
+                    scores_mem[np.ix_(long_ok, det_idx)] = ctt_similarity(
+                        emb_mem[long_ok], emb_in)
                 if len(short_ok) > 0:
-                    short = ctt_similarity(emb_mem[short_ok], clip.query_embeds)
-                    scores_mem[short_ok] = 0.5 * (scores_mem[short_ok] + short)
+                    short = ctt_similarity(emb_mem[short_ok], emb_in)
+                    scores_mem[np.ix_(short_ok, det_idx)] = \
+                        0.5 * (scores_mem[np.ix_(short_ok, det_idx)] + short)
 
-            inter_in, inter_saved = [], []
+            overlap = np.zeros((T,), bool)
             for o_i, f_i in enumerate(clip.frame_idx):
                 if f_i in self.saved_idx_set and f_i >= self.start_frame:
-                    inter_in.append(o_i)
-                    inter_saved.append(self.saved_frame_idx.index(f_i))
-
-            siou_scores = np.zeros((self.num_inst, n_in), np.float32)
-            if len(inter_saved) > 0 and n_in > 0 and self.beta_siou > 0:
-                i_masks = _sigmoid(clip.mask_logits[:, inter_in])
-                denom = np.clip(self.clip_count[:self.num_inst], 1.0, None)
-                s_masks = _sigmoid(self.logit_sum[:self.num_inst][:, inter_saved]
-                                   / denom[:, None, None, None])
-                siou_scores = self._get_siou(s_masks, i_masks)
+                    overlap[o_i] = True
+            siou_scores = np.zeros((self.num_inst, K), np.float32)
+            if overlap.any() and n_in > 0 and self.beta_siou > 0:
+                full = np.asarray(mem_siou(
+                    self.logit_sum, self.valid_count,
+                    jnp.asarray(np.concatenate([self.clip_count, [1.0]])),
+                    clip.mask_logits, f0, jnp.asarray(overlap)))
+                siou_scores = full[:self.num_inst] * clip.valid[None]
 
             scores = self.beta_siou * siou_scores + self.beta_ctt * scores_mem
             thres = (self.beta_siou * self.siou_match_threshold
@@ -210,72 +175,97 @@ class OverTracker:
             above = scores > thres
             scores = scores * above
 
-            row_idx, col_idx = linear_sum_assignment(scores, maximize=True)
-            matched_ID, matched_idx = [], []
+            row_idx, col_idx = linear_sum_assignment(scores[:, det_idx],
+                                                     maximize=True)
+            matched_ID, matched_det = [], []
             for r, c in zip(row_idx, col_idx):
-                if not above[r, c]:
+                d = det_idx[c]
+                if not above[r, d]:
                     continue
                 matched_ID.append(int(r))
-                matched_idx.append(int(c))
-                siou_scores[r, c] = -1.0
-                scores_mem[r, c] = 0.0
+                matched_det.append(int(d))
+                siou_scores[r, d] = -1.0
+                scores_mem[r, d] = 0.0
 
             # repeated-detection suppression (reference :170-181)
             repeated = []
-            for idx in range(n_in):
-                if idx in matched_idx:
+            for d in det_idx:
+                if d in matched_det:
                     continue
-                max_siou = siou_scores[:, idx].max() if self.num_inst else 0.0
-                max_ctt = scores_mem[:, idx].max() if self.num_inst else 0.0
-                if max_siou > 0.4 or max_ctt > 0.6:
-                    repeated.append(idx)
+                if siou_scores[:, d].max() > 0.4 or scores_mem[:, d].max() > 0.6:
+                    repeated.append(d)
 
-            unmatched = [i for i in range(n_in)
-                         if i not in matched_idx and i not in repeated
-                         and clip.scores[i] > 2 * self.apply_cls_thres]
+            unmatched = [d for d in det_idx
+                         if d not in matched_det and d not in repeated
+                         and clip.scores[d] > 2 * self.apply_cls_thres]
             unmatched = unmatched[:self.num_max_inst - self.num_inst]
             new_assign = list(range(self.num_inst, self.num_inst + len(unmatched)))
             matched_ID = matched_ID + new_assign
-            matched_idx = matched_idx + unmatched
+            matched_det = matched_det + unmatched
 
-        self._update_memory(matched_ID, matched_idx, clip)
+        # ---- device mask-memory update ----
+        slots = np.full((K,), self.num_max_inst, np.int32)  # dump row
+        for inst, d in zip(matched_ID, matched_det):
+            slots[d] = inst
+        frame_active = np.zeros((K, T), bool)
+        active_dets = np.asarray(matched_det, np.int64)
+        if len(active_dets):
+            frame_active[active_dets, :real_T] = True
+        self.logit_sum, self.valid_count = mem_update(
+            self.logit_sum, self.valid_count, clip.mask_logits,
+            jnp.asarray(slots), jnp.asarray(frame_active), f0)
+
+        # ---- host memory update (embeds / cls / counters, reference :78-90) ----
+        embeds_row = np.zeros((self.num_max_inst, self.embed_dim), np.float32)
+        valid_row = np.zeros(self.num_max_inst, bool)
+        self.untracked_clips += 1
+        if matched_ID:
+            r = np.asarray(matched_ID)
+            c = np.asarray(matched_det)
+            self.clip_count[r] += 1.0
+            self.cls_sum[r] += clip.cls_probs[c]
+            embeds_row[r] = clip.query_embeds[c]
+            valid_row[r] = True
+            self.untracked_clips[r] = 0
+        self._push_ring(embeds_row, valid_row)
+        if matched_ID:
+            nc = min(self.num_clip + 1, 3, self.ring)
+            emb = self.ring_embeds[-nc:][:, r]
+            vw = self.ring_valid[-nc:][:, r, None].astype(np.float32)
+            w = self.weights_mem[:nc].reshape(-1, 1, 1)
+            denom = np.clip((vw * w).sum(0), 1.0, None)
+            self.embeds_mem[r] = (emb * w).sum(0) / denom
+
         self.saved_idx_set.update(clip.frame_idx)
         self.num_clip += 1
-        if self.num_inst and new_assign:
-            self.num_inst += len(new_assign)
+        self.num_inst += len(new_assign)
 
     # ------------------------------------------------------------------
     def get_result(self, is_last_clip=False):
-        """Returns (out_cls (N,K), out_mask_logits (N, len_frames, H, W)) and rolls
-        residual frames into the next window's memory."""
+        """Returns (out_cls (N, Kcls) numpy, avg_mask_logits device (N?, len, H, W)
+        — full M1 rows, caller slices [:num_inst]) and rolls residual frames."""
         n = self.num_inst
-        denom = np.clip(self.valid_count[:n], 1.0, None)[..., None, None]
-        mask_logits = self.logit_sum[:n] / denom  # (N, L, H, W)
+        avg = mem_average(self.logit_sum, self.valid_count)  # (M1, L, H, W) device
         n_frames_valid = max(self.saved_idx_set) - self.start_frame + 1
         len_frames = self.window_frames if not is_last_clip else int(n_frames_valid)
-        out_masks = mask_logits[:, :len_frames]
 
         out_cls = self.cls_sum[:n] / np.clip(self.clip_count[:n], 1.0, None)[:, None]
 
         nc = min(max(3, (self.num_frames - 1) // self.clip_stride), self.num_clip,
                  self.ring)
         qw = self.ring_valid[-nc:][:, :n, None] * self.weights_mem[:nc].reshape(-1, 1, 1)
-        emb = (self.ring_embeds[-nc:][:, :n] * qw).sum(0) / np.clip(qw.sum(0), 1.0, None)
+        emb = (self.ring_embeds[-nc:][:, :n] * qw).sum(0) / np.clip(qw.sum(0), 1.0,
+                                                                    None)
 
         if not is_last_clip:
-            residual_logits = mask_logits[:, self.window_frames:].copy()
-            residual_valid = self.valid_any[:n, self.window_frames:].copy()
-            old_ring_e = self.ring_embeds.copy()
+            self.logit_sum, self.valid_count = mem_rollover(
+                self.logit_sum, self.valid_count, self.window_frames)
             old_ring_v = self.ring_valid.copy()
-            self._init_memory(is_first=False)
-            roll = self.mem_length - self.window_frames
-            self.logit_sum[:n, :roll] = residual_logits
-            self.valid_count[:n, :roll] = residual_valid.astype(np.float32)
-            self.valid_any[:n, :roll] = residual_valid
+            self._init_host_memory(is_first=False)
             self.clip_count[:n] = 1.0
             self.cls_sum[:n] = out_cls
             self.ring_embeds[-1, :n] = emb
             self.ring_valid[-1, :n] = old_ring_v.any(axis=0)[:n]
             self.embeds_mem[:n] = emb
 
-        return out_cls, out_masks
+        return out_cls, avg, len_frames

@@ -37,9 +37,27 @@ def test_inference_vis_end_to_end():
         assert m.dtype == bool
 
 
+def _clip(frame_idx, masks, emb, cls, scores, K=4):
+    """Build a fixed-capacity ClipResults from n valid detections."""
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.tracking import ClipResults
+    n, T, H, W = masks.shape
+    pad = K - n
+    return ClipResults(
+        frame_idx=frame_idx,
+        scores=np.concatenate([scores, np.zeros(pad)]),
+        classes=np.concatenate([np.arange(n), np.zeros(pad, np.int64)]),
+        cls_probs=np.concatenate([cls, np.zeros((pad, cls.shape[1]), np.float32)]),
+        mask_logits=jnp.asarray(np.concatenate(
+            [masks, np.zeros((pad, T, H, W), np.float32)])),
+        query_embeds=np.concatenate([emb, np.zeros((pad, emb.shape[1]), np.float32)]),
+        valid=np.arange(K) < n,
+    )
+
+
 def test_tracker_association_identity():
     """Two identical clips must associate to the same instance IDs."""
-    from mdqe_cvpr2023_tpu.tracking import OverTracker, ClipResults
+    from mdqe_cvpr2023_tpu.tracking import OverTracker
     rng = np.random.default_rng(1)
     H, W = 16, 16
     tr = OverTracker(num_max_inst=10, num_frames=2, window_frames=4, clip_stride=1,
@@ -47,20 +65,19 @@ def test_tracker_association_identity():
     masks = rng.standard_normal((2, 2, H, W)).astype(np.float32) * 5
     emb = rng.standard_normal((2, 8)).astype(np.float32)
     cls = np.abs(rng.standard_normal((2, 3))).astype(np.float32)
-    clip0 = ClipResults([0, 1], np.array([0.9, 0.8]), np.array([0, 1]), cls, masks, emb)
-    tr.update(clip0)
+    tr.update(_clip([0, 1], masks, emb, cls, np.array([0.9, 0.8])))
     assert tr.num_inst == 2
-    clip1 = ClipResults([1, 2], np.array([0.9, 0.8]), np.array([0, 1]), cls, masks, emb)
-    tr.update(clip1)
+    tr.update(_clip([1, 2], masks, emb, cls, np.array([0.9, 0.8])))
     assert tr.num_inst == 2  # same instances re-identified, no new IDs
 
-    out_cls, out_masks = tr.get_result(is_last_clip=True)
+    out_cls, avg, len_frames = tr.get_result(is_last_clip=True)
     assert out_cls.shape == (2, 3)
-    assert out_masks.shape[0] == 2
+    assert np.asarray(avg).shape[0] == 11  # M+1 rows incl. dump
+    assert len_frames == 3
 
 
 def test_tracker_new_instance_registration():
-    from mdqe_cvpr2023_tpu.tracking import OverTracker, ClipResults
+    from mdqe_cvpr2023_tpu.tracking import OverTracker
     rng = np.random.default_rng(2)
     H, W = 16, 16
     tr = OverTracker(num_max_inst=10, num_frames=2, window_frames=4, clip_stride=1,
@@ -72,16 +89,14 @@ def test_tracker_new_instance_registration():
     e0 = np.zeros((2, 8), np.float32)
     e0[0, 0] = 10.0
     e0[1, 1] = 10.0
-    clip0 = ClipResults([0, 1], np.array([0.9, 0.9]), np.array([0, 1]),
-                        np.array([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]], np.float32),
-                        m0, e0)
-    tr.update(clip0)
+    tr.update(_clip([0, 1], m0, e0,
+                    np.array([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]], np.float32),
+                    np.array([0.9, 0.9])))
     # a disjoint mask with an orthogonal embedding and high score -> new ID
     m1 = np.full((1, 2, H, W), -10.0, np.float32)
     m1[:, :, 10:, 10:] = 10.0
     e1 = np.zeros((1, 8), np.float32)
     e1[0, 2] = 10.0
-    clip1 = ClipResults([1, 2], np.array([0.9]), np.array([2]),
-                        np.array([[0.1, 0.1, 0.9]], np.float32), m1, e1)
-    tr.update(clip1)
+    tr.update(_clip([1, 2], m1, e1, np.array([[0.1, 0.1, 0.9]], np.float32),
+                    np.array([0.9])))
     assert tr.num_inst == 3
