@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Video demo: run VIS inference on directories of frames and write visualized
+videos (reference demo/demo.py + demo/predictor.py rebuilt for the TPU pipeline).
+
+Usage:
+  python demo/demo.py --config-file configs/R50_ovis_360.yaml \
+      --input datasets/ovis/valid/<video_dir> [...] --output out/ \
+      [--weights ckpt.pth] [--confidence-threshold 0.3]
+"""
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--input", nargs="+", required=True,
+                   help="video frame directories (or single video files with cv2)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--confidence-threshold", type=float, default=0.3)
+    p.add_argument("--fps", type=int, default=10)
+    return p.parse_args()
+
+
+def color_for(i):
+    rng = np.random.default_rng(i * 7 + 3)
+    return rng.integers(60, 255, 3).astype(np.uint8)
+
+
+def main():
+    import cv2
+    from mdqe_cvpr2023_tpu.engine import load_config
+    from mdqe_cvpr2023_tpu.engine.trainer import Trainer
+
+    args = parse_args()
+    cfg = load_config(args.config_file)
+    if args.weights:
+        cfg.MODEL.WEIGHTS = args.weights
+    trainer = Trainer(cfg)
+    os.makedirs(args.output, exist_ok=True)
+
+    for vid_path in args.input:
+        if os.path.isdir(vid_path):
+            files = sorted(glob.glob(os.path.join(vid_path, "*.jpg"))
+                           + glob.glob(os.path.join(vid_path, "*.png")))
+            frames = [cv2.imread(f)[:, :, ::-1] for f in files]
+        else:
+            cap = cv2.VideoCapture(vid_path)
+            frames = []
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                frames.append(frame[:, :, ::-1])
+        if not frames:
+            print(f"no frames in {vid_path}")
+            continue
+        H, W = frames[0].shape[:2]
+        rec = {"video_id": 0, "file_names": [], "height": H, "width": W,
+               "length": len(frames)}
+
+        # run inference directly on in-memory frames
+        from mdqe_cvpr2023_tpu.models.meta import inference_vis, preprocess_frames
+        mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        min_test = cfg.INPUT.MIN_SIZE_TEST
+        max_test = cfg.INPUT.get("MAX_SIZE_TEST", 1333)
+        scale = min_test / min(H, W)
+        if max(H, W) * scale > max_test:
+            scale = max_test / max(H, W)
+        th, tw = int(round(H * scale)), int(round(W * scale))
+        resized = np.stack([cv2.resize(f, (tw, th)) for f in frames])
+        proc, _ = preprocess_frames(resized, mean, std)
+        out = inference_vis(trainer.params, trainer.model_cfg, trainer.inf_cfg,
+                            proc, image_size=(th, tw), ori_size=(H, W))
+
+        keep = [i for i, s in enumerate(out["pred_scores"])
+                if s > args.confidence_threshold]
+        name = os.path.splitext(os.path.basename(vid_path.rstrip("/")))[0]
+        writer = cv2.VideoWriter(os.path.join(args.output, f"{name}.mp4"),
+                                 cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (W, H))
+        for t, frame in enumerate(frames):
+            vis = frame.copy()
+            for j, i in enumerate(keep):
+                m = out["pred_masks"][i][t]
+                col = color_for(i)
+                vis[m] = (0.5 * vis[m] + 0.5 * col).astype(np.uint8)
+            writer.write(vis[:, :, ::-1])
+        writer.release()
+        print(f"wrote {name}.mp4 with {len(keep)} instances")
+
+
+if __name__ == "__main__":
+    main()

@@ -314,3 +314,68 @@ def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
         "pred_labels": out_labels,
         "pred_masks": out_masks,
     }
+
+
+# ---------------------------------------------------------------------------
+# COCO (single-image / clip) inference path (reference inference_image :486-556)
+# ---------------------------------------------------------------------------
+
+def inference_image(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
+                    image: np.ndarray, image_size, ori_size):
+    """COCO-style instance segmentation on one image (treated as a 1-frame clip):
+    threshold, aligned-bilinear upsample, mask-quality rescoring, box-IoU soft-NMS,
+    optional multi-class expansion, resize to the original size.
+
+    image: (1, Hp, Wp, 3) normalized padded. Returns dict with scores, classes,
+    masks (n, oh, ow) bool."""
+    from ..utils.boxes import box_iou, masks_to_boxes
+    from .detr import detr_apply_backbone
+
+    sizes = jnp.asarray([list(image_size)] * image.shape[0], jnp.int32)
+    out = detr_apply_backbone(params, model_cfg, jnp.asarray(image), sizes,
+                              n_frames=image.shape[0], training=False, is_coco=True)
+    cls = np.asarray(out["cls"][0])                      # (Q, K) sigmoid
+    masks = np.asarray(out["masks"][0])                  # (Q, T, H4, W4)
+    ct = (image.shape[0] - 1) // 2
+    mask = masks[:, ct]                                  # (Q, H4, W4)
+
+    score = cls.max(-1)
+    keep = score >= min(inf_cfg.apply_cls_thres, score.max())
+    idx = np.nonzero(keep)[0]
+    cls = cls[idx]
+    mask = mask[idx]
+
+    m = jnp.asarray(mask)
+    m = aligned_bilinear(m, inf_cfg.match_stride)
+    m = np.asarray(m)[:, :image_size[0], :image_size[1]]
+
+    soft = 1.0 / (1.0 + np.exp(-m))
+    hard = soft > 0.5
+    num = (soft * hard).reshape(len(idx), -1).sum(-1)
+    den = hard.reshape(len(idx), -1).sum(-1)
+    cls = cls * (num / (den + 1e-6))[:, None]
+
+    if len(idx) > 0:
+        order = np.argsort(-cls.max(-1))
+        cls, m = cls[order], m[order]
+        boxes = np.asarray(masks_to_boxes(jnp.asarray(m > 0)))
+        norm = np.array([image_size[1], image_size[0]] * 2)
+        biou = np.asarray(box_iou(jnp.asarray(boxes / norm),
+                                  jnp.asarray(boxes / norm))[0])
+        max_biou = np.triu(biou, k=1).max(0)
+        cls = cls * (1 - max_biou)[:, None]
+
+    if inf_cfg.multi_cls_on:
+        qi, label = np.nonzero(cls > inf_cfg.apply_cls_thres)
+        score = cls[qi, label]
+        m = m[qi]
+    else:
+        score = cls.max(-1)
+        label = cls.argmax(-1)
+
+    final = interpolate_bilinear(jnp.asarray(m), ori_size)
+    final_masks = np.asarray(final) > 0.0
+
+    return {"scores": score.tolist(), "classes": label.tolist(),
+            "masks": final_masks,
+            "boxes": np.asarray(masks_to_boxes(jnp.asarray(final_masks)))}

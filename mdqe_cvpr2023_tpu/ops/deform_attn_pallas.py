@@ -134,12 +134,12 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
             gx = jnp.pad(gx, padv, constant_values=-10.0)
             aw = jnp.pad(aw, padv)
         g = jnp.concatenate([gy, gx, aw], axis=1)  # (BH, 3P, Qp)
-        # scale the query tile so the stage-1 buffer (P*Qt x D*w) stays ~constant;
-        # small levels otherwise drown in per-grid-cell overhead
-        qt_l = q_tile
-        while qt_l * 2 <= Qp and P * qt_l * 2 * D * w_l * 4 <= 5 * 2 ** 20 \
-                and Qp % (qt_l * 2) == 0 and qt_l < 1024:
-            qt_l *= 2
+        # larger query tiles amortize per-grid-cell overhead on small levels, but
+        # the stage-1 buffer (P*Qt x D*w fp32) must stay within scoped VMEM
+        qt_l = q_tile if D * w_l * P * 2 * q_tile * 4 > 16 * 2 ** 20 \
+            else min(2 * q_tile, Qp)
+        if Qp % qt_l:
+            qt_l = q_tile
         out = out + _deform_attn_level(v_l, g, h=int(h_l), w=int(w_l), P=P,
                                        q_tile=qt_l,
                                        compute_dtype_name=compute_dtype_name)
