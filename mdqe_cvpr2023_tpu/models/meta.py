@@ -143,6 +143,51 @@ def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_f
                             mask_feats, apply_cls_thres, topk)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("model_cfg", "spatial_shapes", "n_frames",
+                                    "apply_cls_thres", "topk"))
+def decode_clip_fused(params, model_cfg: MDQEModelCfg, encoded, mask_flat,
+                      spatial_shapes, mask_feats, logit_sum, valid_count,
+                      clip_count, f0, overlap, n_frames: int,
+                      apply_cls_thres: float, topk: int):
+    """Decoder + post-processing + tracker sIoU in one launch, with every
+    host-needed scalar packed into a single f32 vector (one sync per clip — the
+    host<->device round trip here costs ~26 ms, so it must happen exactly once)."""
+    from ..tracking.mask_memory import mem_siou
+
+    res = decode_and_postprocess_clip(params, model_cfg, encoded, mask_flat,
+                                      spatial_shapes, mask_feats, n_frames,
+                                      apply_cls_thres, topk)
+    siou = mem_siou(logit_sum, valid_count, clip_count, res["masks"], f0, overlap)
+    packed = jnp.concatenate([
+        res["scores"].astype(jnp.float32).ravel(),
+        res["classes"].astype(jnp.float32).ravel(),
+        res["valid"].astype(jnp.float32).ravel(),
+        res["cls_probs"].astype(jnp.float32).ravel(),
+        res["query_embeds"].astype(jnp.float32).ravel(),
+        siou.astype(jnp.float32).ravel(),
+    ])
+    return packed, res["masks"]
+
+
+def unpack_clip_meta(packed: np.ndarray, topk: int, n_cls: int, emb_dim: int,
+                     m1: int):
+    """Inverse of decode_clip_fused's packing."""
+    o = 0
+    def take(n, shape):
+        nonlocal o
+        out = packed[o:o + n].reshape(shape)
+        o += n
+        return out
+    scores = take(topk, (topk,))
+    classes = take(topk, (topk,)).astype(np.int64)
+    valid = take(topk, (topk,)) > 0.5
+    cls_probs = take(topk * n_cls, (topk, n_cls))
+    embeds = take(topk * emb_dim, (topk, emb_dim))
+    siou = take(m1 * topk, (m1, topk))
+    return scores, classes, valid, cls_probs, embeds, siou
+
+
 def spatial_shapes_for(model_cfg: MDQEModelCfg, padded_hw) -> Tuple[Tuple[int, int], ...]:
     Hp, Wp = padded_hw
     shapes = []
@@ -183,7 +228,10 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     stride = inf_cfg.clip_stride
     shapes = spatial_shapes_for(model_cfg, frames.shape[1:3])
 
-    tracker: Optional[OverTracker] = None
+    mask_hw = (2 * shapes[0][0], 2 * shapes[0][1])  # mask-head output is stride 4
+    tracker = OverTracker(inf_cfg.max_num_instances, T_clip, W_win, stride,
+                          inf_cfg.num_classes, model_cfg.hidden_dim, mask_hw,
+                          inf_cfg.apply_cls_thres)
     window_encoded = window_maskf = window_maskflat = None
     window_start = 0
     window_end = 0
@@ -228,28 +276,25 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         clip_maskflat = jnp.take(window_maskflat, idx_arr, axis=0)
         clip_maskf = jnp.take(window_maskf, idx_arr, axis=0)
 
-        res = decode_and_postprocess_clip(params, model_cfg, clip_enc, clip_maskflat,
-                                          shapes, clip_maskf, T_clip,
-                                          inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
-        # only small metadata crosses to the host; masks stay on device
-        meta_np = {k: np.asarray(res[k]) for k in
-                   ("scores", "classes", "cls_probs", "query_embeds", "valid")}
+        frame_idx = list(range(start_idx, end_idx))
+        f0, overlap = tracker.clip_offsets(frame_idx)
+        pad_ov = np.zeros((T_clip,), bool)
+        pad_ov[:len(overlap)] = overlap
+        packed, clip_masks = decode_clip_fused(
+            params, model_cfg, clip_enc, clip_maskflat, shapes, clip_maskf,
+            tracker.logit_sum, tracker.valid_count,
+            jnp.asarray(np.concatenate([tracker.clip_count, [1.0]]).astype(np.float32)),
+            f0, jnp.asarray(pad_ov), T_clip, inf_cfg.apply_cls_thres,
+            inf_cfg.clip_topk)
+        scores, classes, valid, cls_probs, embeds, siou = unpack_clip_meta(
+            np.asarray(packed), inf_cfg.clip_topk, inf_cfg.num_classes,
+            model_cfg.hidden_dim, inf_cfg.max_num_instances + 1)
         clip_res = ClipResults(
-            frame_idx=list(range(start_idx, end_idx)),
-            scores=meta_np["scores"],
-            classes=meta_np["classes"],
-            cls_probs=meta_np["cls_probs"],
-            mask_logits=res["masks"],
-            query_embeds=meta_np["query_embeds"],
-            valid=meta_np["valid"],
+            frame_idx=frame_idx,
+            scores=scores, classes=classes, cls_probs=cls_probs,
+            mask_logits=clip_masks, query_embeds=embeds, valid=valid,
         )
-
-        if tracker is None:
-            mask_hw = (window_maskf.shape[1], window_maskf.shape[2])
-            tracker = OverTracker(inf_cfg.max_num_instances, T_clip, W_win, stride,
-                                  inf_cfg.num_classes, model_cfg.hidden_dim, mask_hw,
-                                  inf_cfg.apply_cls_thres)
-        tracker.update(clip_res)
+        tracker.update(clip_res, siou_full=siou)
 
         is_output = start_idx + stride >= W_win * (saved_clips + 1)
         if is_last_clip or is_output:

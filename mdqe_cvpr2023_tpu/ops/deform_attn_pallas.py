@@ -61,6 +61,67 @@ def _level_kernel(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, compute_dtype)
     out_ref[0] = outp.reshape(P, Qt, D).sum(axis=0)
 
 
+def _level_kernel_heads(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, H,
+                        compute_dtype):
+    """Variant that loops all H heads of one frame inside a grid cell, amortizing
+    per-cell pipeline overhead (used for wide levels where the q-tile can't grow).
+    g (1, H, 3P, Qt); v (1, H, h, D*w); comb (D*w, D); out (1, H, Qt, D)."""
+    Qt = g_ref.shape[3]
+    for head in range(H):
+        g = g_ref[0, head]
+        gy = g[:P]
+        gx = g[P:2 * P]
+        aw = g[2 * P:3 * P]
+        iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h), 2).astype(jnp.float32)
+        hat_y = jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy[..., None])) * aw[..., None]
+        hat_y = hat_y.reshape(P * Qt, h)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w), 2).astype(jnp.float32)
+        hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None])).reshape(P * Qt, w)
+
+        s = jnp.dot(hat_y.astype(compute_dtype), v_ref[0, head].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+        t = s.astype(compute_dtype) * pltpu.repeat(hat_x.astype(compute_dtype), D,
+                                                   axis=1)
+        outp = jnp.dot(t, comb_ref[:].astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+        out_ref[0, head] = outp.reshape(P, Qt, D).sum(axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "P", "H", "q_tile",
+                                             "compute_dtype_name"))
+def _deform_attn_level_heads(v, g, *, h, w, P, H, q_tile, compute_dtype_name):
+    """v (B, H, h, D*w); g (B, H, 3P, Qp) -> (B, H, Qp, D) f32."""
+    B = v.shape[0]
+    Qp = g.shape[3]
+    D = v.shape[3] // w
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    comb = (jax.lax.broadcasted_iota(jnp.int32, (D * w, D), 0) // w
+            == jax.lax.broadcasted_iota(jnp.int32, (D * w, D), 1)
+            ).astype(compute_dtype)
+
+    flops = 2 * B * H * Qp * P * (h + D) * w * D
+    return pl.pallas_call(
+        functools.partial(_level_kernel_heads, h=h, w=w, D=D, P=P, H=H,
+                          compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
+        grid=(B, Qp // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, H, 3 * P, q_tile), lambda b, q: (b, 0, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, h, D * w), lambda b, q: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D * w, D), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, q_tile, D), lambda b, q: (b, 0, q, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=v.size * 2,
+                                      transcendentals=0),
+    )(g, v, comb)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -134,15 +195,25 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
             gx = jnp.pad(gx, padv, constant_values=-10.0)
             aw = jnp.pad(aw, padv)
         g = jnp.concatenate([gy, gx, aw], axis=1)  # (BH, 3P, Qp)
-        # larger query tiles amortize per-grid-cell overhead on small levels, but
-        # the stage-1 buffer (P*Qt x D*w fp32) must stay within scoped VMEM
-        qt_l = q_tile if D * w_l * P * 2 * q_tile * 4 > 16 * 2 ** 20 \
-            else min(2 * q_tile, Qp)
-        if Qp % qt_l:
-            qt_l = q_tile
-        out = out + _deform_attn_level(v_l, g, h=int(h_l), w=int(w_l), P=P,
-                                       q_tile=qt_l,
-                                       compute_dtype_name=compute_dtype_name)
+        # wide levels can't grow the q-tile (stage-1 buffer P*Qt x D*w fp32 must fit
+        # scoped VMEM), so they amortize per-cell overhead by looping all heads in
+        # one grid cell instead; narrow levels simply double the q-tile.
+        wide = D * w_l * P * 2 * q_tile * 4 > 16 * 2 ** 20
+        if wide:
+            vh = v_l.reshape(B, H, h_l, D * w_l)
+            gh = g.reshape(B, H, 3 * P, Qp)
+            lvl = _deform_attn_level_heads(vh, gh, h=int(h_l), w=int(w_l), P=P,
+                                           H=H, q_tile=q_tile,
+                                           compute_dtype_name=compute_dtype_name)
+            lvl = lvl.reshape(BH, Qp, D)
+        else:
+            qt_l = min(2 * q_tile, Qp)
+            if Qp % qt_l:
+                qt_l = q_tile
+            lvl = _deform_attn_level(v_l, g, h=int(h_l), w=int(w_l), P=P,
+                                     q_tile=qt_l,
+                                     compute_dtype_name=compute_dtype_name)
+        out = out + lvl
 
     out = out[:, :Q].reshape(B, H, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, H * D)

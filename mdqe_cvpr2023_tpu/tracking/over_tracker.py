@@ -124,7 +124,17 @@ class OverTracker:
         self.ring_valid[-1] = valid_row
 
     # ------------------------------------------------------------------
-    def update(self, clip: ClipResults):
+    def clip_offsets(self, frame_idx: List[int]):
+        """(f0, overlap) for a clip about to be processed: memory offset of its first
+        frame and which clip frames are already present in memory."""
+        f0 = max(min(frame_idx) - self.start_frame, 0)
+        overlap = np.array([f in self.saved_idx_set and f >= self.start_frame
+                            for f in frame_idx], bool)
+        return f0, overlap
+
+    def update(self, clip: ClipResults, siou_full: Optional[np.ndarray] = None):
+        """siou_full: optional precomputed (M+1, K) sIoU matrix (from the fused
+        device call); computed on demand otherwise."""
         K = clip.valid.shape[0]
         det_idx = np.nonzero(clip.valid)[0]
         n_in = len(det_idx)
@@ -163,11 +173,12 @@ class OverTracker:
                     overlap[o_i] = True
             siou_scores = np.zeros((self.num_inst, K), np.float32)
             if overlap.any() and n_in > 0 and self.beta_siou > 0:
-                full = np.asarray(mem_siou(
-                    self.logit_sum, self.valid_count,
-                    jnp.asarray(np.concatenate([self.clip_count, [1.0]])),
-                    clip.mask_logits, f0, jnp.asarray(overlap)))
-                siou_scores = full[:self.num_inst] * clip.valid[None]
+                if siou_full is None:
+                    siou_full = np.asarray(mem_siou(
+                        self.logit_sum, self.valid_count,
+                        jnp.asarray(np.concatenate([self.clip_count, [1.0]])),
+                        clip.mask_logits, f0, jnp.asarray(overlap)))
+                siou_scores = siou_full[:self.num_inst] * clip.valid[None]
 
             scores = self.beta_siou * siou_scores + self.beta_ctt * scores_mem
             thres = (self.beta_siou * self.siou_match_threshold
