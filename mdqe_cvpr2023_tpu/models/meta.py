@@ -127,6 +127,17 @@ def encode_frames(params, model_cfg: MDQEModelCfg, images, image_sizes):
 
 
 @functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes"))
+def encode_window(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
+                  pixel_mean, pixel_std, spatial_shapes):
+    """One launch for a whole window: uint8 frames are normalized on device (4x less
+    host->device traffic), then backbone + encoder + mask head."""
+    images = (frames_u8.astype(jnp.float32) - pixel_mean) / pixel_std
+    encoded, mask_flat, _ = detr_encode(params, model_cfg, images, image_sizes)
+    maskf = detr_mask_feats(params, model_cfg, encoded, spatial_shapes)
+    return encoded, mask_flat, maskf
+
+
+@functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes"))
 def window_mask_feats(params, model_cfg: MDQEModelCfg, encoded, spatial_shapes):
     return detr_mask_feats(params, model_cfg, encoded, spatial_shapes)
 
@@ -146,15 +157,20 @@ def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_f
 @functools.partial(jax.jit,
                    static_argnames=("model_cfg", "spatial_shapes", "n_frames",
                                     "apply_cls_thres", "topk"))
-def decode_clip_fused(params, model_cfg: MDQEModelCfg, encoded, mask_flat,
-                      spatial_shapes, mask_feats, logit_sum, valid_count,
-                      clip_count, f0, overlap, n_frames: int,
-                      apply_cls_thres: float, topk: int):
-    """Decoder + post-processing + tracker sIoU in one launch, with every
+def decode_clip_fused(params, model_cfg: MDQEModelCfg, window_encoded,
+                      window_mask_flat, spatial_shapes, window_mask_feats_arr,
+                      clip_off, logit_sum, valid_count, clip_count, f0, overlap,
+                      n_frames: int, apply_cls_thres: float, topk: int):
+    """Decoder + post-processing + tracker sIoU in one launch, slicing the clip out
+    of the window arrays on device (no eager ops in the loop), with every
     host-needed scalar packed into a single f32 vector (one sync per clip — the
     host<->device round trip here costs ~26 ms, so it must happen exactly once)."""
     from ..tracking.mask_memory import mem_siou
 
+    encoded = jax.lax.dynamic_slice_in_dim(window_encoded, clip_off, n_frames, 0)
+    mask_flat = jax.lax.dynamic_slice_in_dim(window_mask_flat, clip_off, n_frames, 0)
+    mask_feats = jax.lax.dynamic_slice_in_dim(window_mask_feats_arr, clip_off,
+                                              n_frames, 0)
     res = decode_and_postprocess_clip(params, model_cfg, encoded, mask_flat,
                                       spatial_shapes, mask_feats, n_frames,
                                       apply_cls_thres, topk)
@@ -201,32 +217,40 @@ def spatial_shapes_for(model_cfg: MDQEModelCfg, padded_hw) -> Tuple[Tuple[int, i
 # host-side windowed video inference (reference inference_vis :291-366)
 # ---------------------------------------------------------------------------
 
-def preprocess_frames(frames_u8, pixel_mean, pixel_std, size_divisibility=32):
-    """frames_u8: (T, H, W, 3) uint8/float RGB. Returns padded normalized float32
-    (T, Hp, Wp, 3) + per-frame sizes (T, 2)."""
+def preprocess_frames(frames_u8, pixel_mean=None, pixel_std=None,
+                      size_divisibility=32):
+    """frames_u8: (T, H, W, 3) uint8 RGB. Returns zero-padded uint8 (T, Hp, Wp, 3)
+    + per-frame sizes (T, 2). Normalization happens on device (encode_window)."""
     T, H, W, _ = frames_u8.shape
     Hp = -(-H // size_divisibility) * size_divisibility
     Wp = -(-W // size_divisibility) * size_divisibility
-    out = np.zeros((T, Hp, Wp, 3), np.float32)
-    out[:, :H, :W] = (frames_u8.astype(np.float32) - pixel_mean) / pixel_std
+    out = np.zeros((T, Hp, Wp, 3), np.uint8)
+    out[:, :H, :W] = frames_u8
     sizes = np.tile(np.asarray([[H, W]], np.int32), (T, 1))
     return out, sizes
 
 
 def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                   frames: np.ndarray, image_size: Tuple[int, int],
-                  ori_size: Tuple[int, int]):
+                  ori_size: Tuple[int, int],
+                  pixel_mean=(123.675, 116.28, 103.53),
+                  pixel_std=(58.395, 57.12, 57.375)):
     """Run near-online VIS on one video.
 
-    frames: (T, Hp, Wp, 3) normalized padded float32 (host)
+    frames: (T, Hp, Wp, 3) padded uint8 (host); normalization runs on device.
     image_size: true (h, w) before padding; ori_size: original video (h, w).
     Returns dict {image_size, pred_scores, pred_labels, pred_masks} like the reference.
     """
-    video_len = frames.shape[0]
     T_clip = inf_cfg.n_frames_test
+    real_len = frames.shape[0]
+    if real_len < T_clip:  # pad very short videos by repeating the last frame
+        frames = np.concatenate([frames] + [frames[-1:]] * (T_clip - real_len))
+    video_len = frames.shape[0]
     W_win = inf_cfg.n_frames_window_test
     stride = inf_cfg.clip_stride
     shapes = spatial_shapes_for(model_cfg, frames.shape[1:3])
+    mean_dev = jnp.asarray(pixel_mean, jnp.float32)
+    std_dev = jnp.asarray(pixel_std, jnp.float32)
 
     mask_hw = (2 * shapes[0][0], 2 * shapes[0][1])  # mask-head output is stride 4
     tracker = OverTracker(inf_cfg.max_num_instances, T_clip, W_win, stride,
@@ -244,44 +268,29 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         is_last_clip = start_idx + T_clip >= video_len
 
         if end_idx > window_end:
-            # encode a new window (chunked so each launch has a fixed small batch)
+            # encode a new window in one launch (pad the tail window to W_win)
             window_start = start_idx
             window_end = min(start_idx + W_win, video_len)
-            enc_parts, mf_parts = [], []
-            c = inf_cfg.encode_chunk
-            for s in range(window_start, window_end, c):
-                e = min(s + c, window_end)
-                imgs = jnp.asarray(frames[s:e])
-                if e - s < c:  # pad the chunk to fixed shape, drop extras after
-                    pad = c - (e - s)
-                    imgs = jnp.concatenate([imgs, jnp.repeat(imgs[-1:], pad, 0)])
-                    sz = jnp.asarray(np.concatenate([sizes_all[s:e],
-                                                     np.repeat(sizes_all[e - 1:e], pad, 0)]))
-                else:
-                    sz = jnp.asarray(sizes_all[s:e])
-                enc, mflat = encode_frames(params, model_cfg, imgs, sz)
-                enc_parts.append(enc[:e - s])
-                mf_parts.append(mflat[:e - s])
-            window_encoded = jnp.concatenate(enc_parts)
-            window_maskflat = jnp.concatenate(mf_parts)
-            window_maskf = window_mask_feats(params, model_cfg, window_encoded, shapes)
+            wf = frames[window_start:window_end]
+            sz = sizes_all[window_start:window_end]
+            if wf.shape[0] < W_win:
+                pad = W_win - wf.shape[0]
+                wf = np.concatenate([wf] + [wf[-1:]] * pad)
+                sz = np.concatenate([sz] + [sz[-1:]] * pad)
+            window_encoded, window_maskflat, window_maskf = encode_window(
+                params, model_cfg, jnp.asarray(wf), jnp.asarray(sz),
+                mean_dev, std_dev, shapes)
 
-        # clip slice (pad last clip by repeating final frame to keep shapes fixed)
-        idx = list(range(start_idx - window_start, end_idx - window_start))
-        real_T = len(idx)
-        while len(idx) < T_clip:
-            idx.append(idx[-1])
-        idx_arr = jnp.asarray(idx)
-        clip_enc = jnp.take(window_encoded, idx_arr, axis=0)
-        clip_maskflat = jnp.take(window_maskflat, idx_arr, axis=0)
-        clip_maskf = jnp.take(window_maskf, idx_arr, axis=0)
-
-        frame_idx = list(range(start_idx, end_idx))
+        # fixed-shape clips: a tail clip that would be short is shifted back to the
+        # last full T_clip-frame window (covers the same frames; averages absorb it)
+        start_eff = max(0, min(start_idx, video_len - T_clip))
+        frame_idx = list(range(start_eff, start_eff + T_clip))
         f0, overlap = tracker.clip_offsets(frame_idx)
         pad_ov = np.zeros((T_clip,), bool)
         pad_ov[:len(overlap)] = overlap
         packed, clip_masks = decode_clip_fused(
-            params, model_cfg, clip_enc, clip_maskflat, shapes, clip_maskf,
+            params, model_cfg, window_encoded, window_maskflat, shapes,
+            window_maskf, start_eff - window_start,
             tracker.logit_sum, tracker.valid_count,
             jnp.asarray(np.concatenate([tracker.clip_count, [1.0]]).astype(np.float32)),
             f0, jnp.asarray(pad_ov), T_clip, inf_cfg.apply_cls_thres,
@@ -316,7 +325,10 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if is_last_clip:
             break
 
-    return inference_video(inf_cfg, ori_size, pred_cls_clips, pred_masks_clips)
+    out = inference_video(inf_cfg, ori_size, pred_cls_clips, pred_masks_clips)
+    if real_len < video_len:  # drop the short-video padding frames
+        out["pred_masks"] = [m[:real_len] for m in out["pred_masks"]]
+    return out
 
 
 def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
