@@ -176,6 +176,8 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
     out = jnp.zeros((BH, Qp, D), jnp.float32)
     start = 0
     vt = value.transpose(0, 2, 1, 3).reshape(BH, N, D)  # (BH, N, D)
+    # ship V to the kernel in the compute dtype (halves VMEM blocks + DMA for bf16)
+    vt = vt.astype(jnp.dtype(compute_dtype_name))
     for l, (h_l, w_l) in enumerate(spatial_shapes):
         hw = int(h_l) * int(w_l)
         v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=1)
