@@ -157,23 +157,31 @@ def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_f
 @functools.partial(jax.jit,
                    static_argnames=("model_cfg", "spatial_shapes", "n_frames",
                                     "apply_cls_thres", "topk"))
-def decode_clip_fused(params, model_cfg: MDQEModelCfg, window_encoded,
-                      window_mask_flat, spatial_shapes, window_mask_feats_arr,
-                      clip_off, logit_sum, valid_count, clip_count, f0, overlap,
-                      n_frames: int, apply_cls_thres: float, topk: int):
-    """Decoder + post-processing + tracker sIoU in one launch, slicing the clip out
-    of the window arrays on device (no eager ops in the loop), with every
-    host-needed scalar packed into a single f32 vector (one sync per clip — the
-    host<->device round trip here costs ~26 ms, so it must happen exactly once)."""
-    from ..tracking.mask_memory import mem_siou
-
+@functools.partial(jax.jit,
+                   static_argnames=("model_cfg", "spatial_shapes", "n_frames",
+                                    "apply_cls_thres", "topk"))
+def decode_clip_windowed(params, model_cfg: MDQEModelCfg, window_encoded,
+                         window_mask_flat, spatial_shapes, window_mask_feats_arr,
+                         clip_off, n_frames: int, apply_cls_thres: float,
+                         topk: int):
+    """Decoder + post-processing, slicing the clip out of the window arrays on
+    device. Independent of tracker state, so clip k+1 can be dispatched before the
+    host finishes clip k (the device pipeline hides host latency)."""
     encoded = jax.lax.dynamic_slice_in_dim(window_encoded, clip_off, n_frames, 0)
     mask_flat = jax.lax.dynamic_slice_in_dim(window_mask_flat, clip_off, n_frames, 0)
     mask_feats = jax.lax.dynamic_slice_in_dim(window_mask_feats_arr, clip_off,
                                               n_frames, 0)
-    res = decode_and_postprocess_clip(params, model_cfg, encoded, mask_flat,
-                                      spatial_shapes, mask_feats, n_frames,
-                                      apply_cls_thres, topk)
+    return decode_and_postprocess_clip(params, model_cfg, encoded, mask_flat,
+                                       spatial_shapes, mask_feats, n_frames,
+                                       apply_cls_thres, topk)
+
+
+@jax.jit
+def siou_and_pack(res, logit_sum, valid_count, clip_count, f0, overlap):
+    """Tracker sIoU against the clip's detections + pack every host-needed scalar
+    into a single f32 vector (one ~26 ms host round trip per clip)."""
+    from ..tracking.mask_memory import mem_siou
+
     siou = mem_siou(logit_sum, valid_count, clip_count, res["masks"], f0, overlap)
     packed = jnp.concatenate([
         res["scores"].astype(jnp.float32).ravel(),
@@ -183,6 +191,17 @@ def decode_clip_fused(params, model_cfg: MDQEModelCfg, window_encoded,
         res["query_embeds"].astype(jnp.float32).ravel(),
         siou.astype(jnp.float32).ravel(),
     ])
+    return packed
+
+
+def decode_clip_fused(params, model_cfg, window_encoded, window_mask_flat,
+                      spatial_shapes, window_mask_feats_arr, clip_off, logit_sum,
+                      valid_count, clip_count, f0, overlap, n_frames: int,
+                      apply_cls_thres: float, topk: int):
+    res = decode_clip_windowed(params, model_cfg, window_encoded, window_mask_flat,
+                               spatial_shapes, window_mask_feats_arr, clip_off,
+                               n_frames, apply_cls_thres, topk)
+    packed = siou_and_pack(res, logit_sum, valid_count, clip_count, f0, overlap)
     return packed, res["masks"]
 
 
@@ -256,45 +275,65 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     tracker = OverTracker(inf_cfg.max_num_instances, T_clip, W_win, stride,
                           inf_cfg.num_classes, model_cfg.hidden_dim, mask_hw,
                           inf_cfg.apply_cls_thres)
-    window_encoded = window_maskf = window_maskflat = None
-    window_start = 0
-    window_end = 0
     saved_clips = 0
     pred_cls_clips, pred_masks_clips = [], []
     sizes_all = np.tile(np.asarray([list(image_size)], np.int32), (video_len, 1))
 
+    # ---- precompute the clip/window schedule (reference loop :308-332), so clip
+    # k+1's decode can be dispatched before clip k's host sync (device pipeline
+    # hides the ~26ms round trip + host matching behind decoder compute) ----
+    schedule = []  # (start_idx, start_eff, window_start, window_end)
+    wstart, wend = 0, 0
     for start_idx in range(0, video_len, stride):
         end_idx = min(start_idx + T_clip, video_len)
-        is_last_clip = start_idx + T_clip >= video_len
+        if end_idx > wend:
+            wstart = start_idx
+            wend = min(start_idx + W_win, video_len)
+        # fixed-shape clips: a tail clip that would be short is shifted back to the
+        # last full T_clip window (covers the same frames; averages absorb it)
+        start_eff = max(0, min(start_idx, video_len - T_clip))
+        schedule.append((start_idx, start_eff, wstart, wend))
+        if start_idx + T_clip >= video_len:
+            break
 
-        if end_idx > window_end:
-            # encode a new window in one launch (pad the tail window to W_win)
-            window_start = start_idx
-            window_end = min(start_idx + W_win, video_len)
-            wf = frames[window_start:window_end]
-            sz = sizes_all[window_start:window_end]
-            if wf.shape[0] < W_win:
+    windows = {}
+
+    def get_window(ws, we):
+        if ws not in windows:
+            wf = frames[ws:we]
+            sz = sizes_all[ws:we]
+            if wf.shape[0] < W_win:  # pad the tail window to the fixed size
                 pad = W_win - wf.shape[0]
                 wf = np.concatenate([wf] + [wf[-1:]] * pad)
                 sz = np.concatenate([sz] + [sz[-1:]] * pad)
-            window_encoded, window_maskflat, window_maskf = encode_window(
-                params, model_cfg, jnp.asarray(wf), jnp.asarray(sz),
-                mean_dev, std_dev, shapes)
+            windows[ws] = encode_window(params, model_cfg, jnp.asarray(wf),
+                                        jnp.asarray(sz), mean_dev, std_dev, shapes)
+            for k in list(windows):  # keep only current + next window alive
+                if k not in (ws, wstart):
+                    del windows[k]
+        return windows[ws]
 
-        # fixed-shape clips: a tail clip that would be short is shifted back to the
-        # last full T_clip-frame window (covers the same frames; averages absorb it)
-        start_eff = max(0, min(start_idx, video_len - T_clip))
+    def dispatch_clip(i):
+        _, start_eff, ws, we = schedule[i]
+        enc, mflat, maskf = get_window(ws, we)
+        return decode_clip_windowed(params, model_cfg, enc, mflat, shapes, maskf,
+                                    start_eff - ws, T_clip,
+                                    inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
+
+    res = dispatch_clip(0)
+    for i, (start_idx, start_eff, wstart, wend) in enumerate(schedule):
+        is_last_clip = i == len(schedule) - 1
         frame_idx = list(range(start_eff, start_eff + T_clip))
         f0, overlap = tracker.clip_offsets(frame_idx)
         pad_ov = np.zeros((T_clip,), bool)
         pad_ov[:len(overlap)] = overlap
-        packed, clip_masks = decode_clip_fused(
-            params, model_cfg, window_encoded, window_maskflat, shapes,
-            window_maskf, start_eff - window_start,
-            tracker.logit_sum, tracker.valid_count,
+        packed = siou_and_pack(
+            res, tracker.logit_sum, tracker.valid_count,
             jnp.asarray(np.concatenate([tracker.clip_count, [1.0]]).astype(np.float32)),
-            f0, jnp.asarray(pad_ov), T_clip, inf_cfg.apply_cls_thres,
-            inf_cfg.clip_topk)
+            f0, jnp.asarray(pad_ov))
+        clip_masks = res["masks"]
+        if not is_last_clip:
+            res = dispatch_clip(i + 1)  # queue next decode before syncing this one
         scores, classes, valid, cls_probs, embeds, siou = unpack_clip_meta(
             np.asarray(packed), inf_cfg.clip_topk, inf_cfg.num_classes,
             model_cfg.hidden_dim, inf_cfg.max_num_instances + 1)
