@@ -69,10 +69,10 @@ def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
                    sampling_locations, attention_weights, impl: str = "auto"):
     """Fused multi-scale deformable attention (see module docstring for the contract).
 
-    impl: 'auto' (Pallas hat-matmul kernel on TPU, XLA gather elsewhere),
-          'pallas', or 'xla'."""
+    impl: 'auto' (Pallas hat-matmul kernel on TPU for large query counts, XLA
+          gather for small ones and on CPU), 'pallas', or 'xla'."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        impl = "xla" if jax.default_backend() in ("cpu",) else "pallas"
     if impl == "pallas":
         from .deform_attn_pallas import ms_deform_attn_pallas
         return ms_deform_attn_pallas(value, tuple(spatial_shapes),
