@@ -320,17 +320,23 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                                     start_eff - ws, T_clip,
                                     inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
 
+    # cached device constants (uploads cost ~ms each through the tunnel)
+    _f0_cache, _ov_cache = {}, {}
+
+    def dev_const(cache, val, arr):
+        if val not in cache:
+            cache[val] = jnp.asarray(arr)
+        return cache[val]
+
     res = dispatch_clip(0)
     for i, (start_idx, start_eff, wstart, wend) in enumerate(schedule):
         is_last_clip = i == len(schedule) - 1
         frame_idx = list(range(start_eff, start_eff + T_clip))
         f0, overlap = tracker.clip_offsets(frame_idx)
-        pad_ov = np.zeros((T_clip,), bool)
-        pad_ov[:len(overlap)] = overlap
-        packed = siou_and_pack(
-            res, tracker.logit_sum, tracker.valid_count,
-            jnp.asarray(np.concatenate([tracker.clip_count, [1.0]]).astype(np.float32)),
-            f0, jnp.asarray(pad_ov))
+        f0_dev = dev_const(_f0_cache, f0, np.int32(f0))
+        ov_dev = dev_const(_ov_cache, tuple(overlap), overlap)
+        packed = siou_and_pack(res, tracker.logit_sum, tracker.valid_count,
+                               tracker.clip_count_dev, f0_dev, ov_dev)
         clip_masks = res["masks"]
         if not is_last_clip:
             res = dispatch_clip(i + 1)  # queue next decode before syncing this one

@@ -20,18 +20,23 @@ import jax.numpy as jnp
 from ..utils.misc import aligned_bilinear, interpolate_nearest
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def mem_update(logit_sum, valid_count, masks, slots, frame_active, f0):
-    """logit_sum (M1, L, H, W), valid_count (M1, L); masks (K, T, H, W) logits;
-    slots (K,) int32 in [0, M1-1] (last row = dump); frame_active (K, T) bool;
-    f0 scalar memory offset of the clip's first frame."""
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def mem_update(logit_sum, valid_count, clip_count, masks, slots, f0):
+    """logit_sum (M1, L, H, W), valid_count (M1, L), clip_count (M1,);
+    masks (K, T, H, W) logits; slots (K,) int32 in [0, M1-1] (last row = dump);
+    f0 scalar memory offset of the clip's first frame. A detection is active iff its
+    slot is a real instance row; all T clip frames are real (fixed-shape clips)."""
+    M1 = logit_sum.shape[0]
     T = masks.shape[1]
+    active = (slots < M1 - 1)
     t_idx = f0 + jnp.arange(T)
-    contrib = masks * frame_active[:, :, None, None]
+    contrib = masks * active[:, None, None, None]
     logit_sum = logit_sum.at[slots[:, None], t_idx[None, :]].add(contrib)
     valid_count = valid_count.at[slots[:, None], t_idx[None, :]].add(
-        frame_active.astype(logit_sum.dtype))
-    return logit_sum, valid_count
+        jnp.broadcast_to(active[:, None], (slots.shape[0], T)
+                         ).astype(logit_sum.dtype))
+    clip_count = clip_count.at[slots].add(active.astype(clip_count.dtype))
+    return logit_sum, valid_count, clip_count
 
 
 @jax.jit
@@ -66,10 +71,11 @@ def mem_average(logit_sum, valid_count):
     return logit_sum / jnp.clip(valid_count, 1.0, None)[:, :, None, None]
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def mem_rollover(logit_sum, valid_count, window_frames: int):
+@functools.partial(jax.jit, static_argnums=(3,))
+def mem_rollover(logit_sum, valid_count, clip_count, window_frames: int):
     """Shift residual frames (beyond the window) to the front for the next window;
-    residual entries re-enter with count 1 (they hold averaged logits)."""
+    residual entries re-enter with count 1 (they hold averaged logits), and every
+    existing instance restarts at clip_count 1 (reference :216-223)."""
     avg = mem_average(logit_sum, valid_count)
     L = logit_sum.shape[1]
     roll = L - window_frames
@@ -78,7 +84,8 @@ def mem_rollover(logit_sum, valid_count, window_frames: int):
     new_ls = new_ls.at[:, :roll].set(avg[:, window_frames:])
     new_vc = new_vc.at[:, :roll].set(
         (valid_count[:, window_frames:] > 0).astype(valid_count.dtype))
-    return new_ls, new_vc
+    new_cc = (clip_count > 0).astype(clip_count.dtype)
+    return new_ls, new_vc, new_cc
 
 
 def _packbits(x_bool):

@@ -93,6 +93,7 @@ class OverTracker:
 
         self.untracked_clips = np.zeros(num_max_inst, np.float64)
         self.embeds_mem = np.zeros((num_max_inst, embed_dim), np.float32)
+        self._dev_scalar_cache = {}
         self._init_host_memory(is_first=True)
         self._init_device_memory()
 
@@ -102,6 +103,7 @@ class OverTracker:
         H, W = self.mask_size
         self.logit_sum = jnp.zeros((M1, self.mem_length, H, W), jnp.float32)
         self.valid_count = jnp.zeros((M1, self.mem_length), jnp.float32)
+        self.clip_count_dev = jnp.zeros((M1,), jnp.float32)
 
     def _init_host_memory(self, is_first: bool):
         M = self.num_max_inst
@@ -175,8 +177,7 @@ class OverTracker:
             if overlap.any() and n_in > 0 and self.beta_siou > 0:
                 if siou_full is None:
                     siou_full = np.asarray(mem_siou(
-                        self.logit_sum, self.valid_count,
-                        jnp.asarray(np.concatenate([self.clip_count, [1.0]])),
+                        self.logit_sum, self.valid_count, self.clip_count_dev,
                         clip.mask_logits, f0, jnp.asarray(overlap)))
                 siou_scores = siou_full[:self.num_inst] * clip.valid[None]
 
@@ -214,17 +215,15 @@ class OverTracker:
             matched_ID = matched_ID + new_assign
             matched_det = matched_det + unmatched
 
-        # ---- device mask-memory update ----
+        # ---- device mask-memory update (one small upload: the slot vector) ----
         slots = np.full((K,), self.num_max_inst, np.int32)  # dump row
         for inst, d in zip(matched_ID, matched_det):
             slots[d] = inst
-        frame_active = np.zeros((K, T), bool)
-        active_dets = np.asarray(matched_det, np.int64)
-        if len(active_dets):
-            frame_active[active_dets, :real_T] = True
-        self.logit_sum, self.valid_count = mem_update(
-            self.logit_sum, self.valid_count, clip.mask_logits,
-            jnp.asarray(slots), jnp.asarray(frame_active), f0)
+        if f0 not in self._dev_scalar_cache:
+            self._dev_scalar_cache[f0] = jnp.asarray(np.int32(f0))
+        self.logit_sum, self.valid_count, self.clip_count_dev = mem_update(
+            self.logit_sum, self.valid_count, self.clip_count_dev,
+            clip.mask_logits, jnp.asarray(slots), self._dev_scalar_cache[f0])
 
         # ---- host memory update (embeds / cls / counters, reference :78-90) ----
         embeds_row = np.zeros((self.num_max_inst, self.embed_dim), np.float32)
@@ -269,8 +268,9 @@ class OverTracker:
                                                                     None)
 
         if not is_last_clip:
-            self.logit_sum, self.valid_count = mem_rollover(
-                self.logit_sum, self.valid_count, self.window_frames)
+            self.logit_sum, self.valid_count, self.clip_count_dev = mem_rollover(
+                self.logit_sum, self.valid_count, self.clip_count_dev,
+                self.window_frames)
             old_ring_v = self.ring_valid.copy()
             self._init_host_memory(is_first=False)
             self.clip_count[:n] = 1.0
