@@ -117,6 +117,12 @@ class Trainer:
                 if self.iteration % log_every == 0:
                     dt = (time.perf_counter() - t_last) / log_every
                     t_last = time.perf_counter()
+                    row = {"iteration": self.iteration,
+                           "total_loss": float(total), "sec_per_iter": dt}
+                    row.update({k: float(v) for k, v in ldict.items()})
+                    with open(os.path.join(self.output_dir, "metrics.jsonl"),
+                              "a") as f:
+                        f.write(json.dumps(row) + "\n")
                     print(f"iter {self.iteration}  loss {float(total):.4f}  "
                           f"{dt:.2f}s/it", flush=True)
                 if self.iteration % ckpt_period == 0 or self.iteration == max_iter:
@@ -152,6 +158,8 @@ class Trainer:
         annotations). Returns (metrics, predictions)."""
         cfg = self.cfg
         name = dataset_name or cfg.DATASETS.TEST[0]
+        if name.startswith("coco"):
+            return self.test_coco(name, max_videos)
         from ..data.builtin import DATASET_SPLITS
         root = self.datasets_root or os.environ.get("MDQE_DATASETS_ROOT", "datasets")
         image_root, json_path = DATASET_SPLITS[name]
@@ -235,3 +243,81 @@ def _merge_params(init_params, loaded):
               "keeping init", flush=True)
         return init_params
     return loaded
+
+
+def _coco_gt_as_videos(gt_json):
+    """Wrap a COCO instances json as 1-frame videos so the VIS evaluator (video IoU
+    degenerates to image IoU at T=1) computes standard mask AP."""
+    videos = [{"id": im["id"], "height": im["height"], "width": im["width"],
+               "length": 1, "file_names": [im.get("file_name", "")]}
+              for im in gt_json["images"]]
+    anns = []
+    for a in gt_json.get("annotations", []):
+        anns.append({
+            "id": a["id"], "video_id": a["image_id"],
+            "category_id": a["category_id"],
+            "segmentations": [a.get("segmentation")],
+            "areas": [a.get("area")], "iscrowd": a.get("iscrowd", 0),
+        })
+    return {"videos": videos, "annotations": anns,
+            "categories": gt_json["categories"]}
+
+
+def _attach_coco_eval():
+    """Adds test_coco to Trainer (COCO eval-only path, reference mdqe.py:486-556 +
+    D2 COCOEvaluator)."""
+
+    def test_coco(self, name, max_images=None):
+        import json as _json
+        from ..data import rle as rle_util
+        from ..data.builtin import DATASET_SPLITS
+        from ..data.dataset import read_image
+        from ..data.ytvis_eval import YTVISEvaluator
+        from ..models.meta import inference_image, preprocess_frames
+
+        root = self.datasets_root or os.environ.get("MDQE_DATASETS_ROOT", "datasets")
+        image_root, json_path = DATASET_SPLITS[name]
+        json_path = os.path.join(root, json_path)
+        image_root = os.path.join(root, image_root)
+        with open(json_path) as f:
+            gt_json = _json.load(f)
+        images = gt_json["images"]
+        if max_images:
+            images = images[:max_images]
+
+        cfg = self.cfg
+        mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+        std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+        min_test = cfg.INPUT.MIN_SIZE_TEST
+        max_test = cfg.INPUT.get("MAX_SIZE_TEST", 1333)
+        predictions = []
+        for im in images:
+            img = read_image(os.path.join(image_root, im["file_name"]))
+            H, W = img.shape[:2]
+            scale = min_test / min(H, W)
+            if max(H, W) * scale > max_test:
+                scale = max_test / max(H, W)
+            th, tw = int(round(H * scale)), int(round(W * scale))
+            resized = _resize(img, th, tw)[None]
+            proc, _ = preprocess_frames(resized)
+            out = inference_image(self.params, self.model_cfg, self.inf_cfg,
+                                  proc, (th, tw), (H, W))
+            for s, c, m in zip(out["scores"], out["classes"], out["masks"]):
+                predictions.append({"video_id": im["id"], "category_id": int(c) + 1,
+                                    "score": float(s),
+                                    "segmentations": [rle_util.encode(m)]})
+        metrics = None
+        if gt_json.get("annotations"):
+            ev = YTVISEvaluator(_coco_gt_as_videos(
+                {**gt_json, "images": images,
+                 "annotations": [a for a in gt_json["annotations"]
+                                 if a["image_id"] in {i["id"] for i in images}]}))
+            metrics = ev.evaluate(predictions)
+            print({k: round(v, 2) for k, v in metrics.items()
+                   if not isinstance(v, dict)}, flush=True)
+        return metrics, predictions
+
+    Trainer.test_coco = test_coco
+
+
+_attach_coco_eval()
