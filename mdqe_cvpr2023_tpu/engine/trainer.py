@@ -79,7 +79,9 @@ class Trainer:
             mapper = ClipMapper(aug, n_frames, cfg.INPUT.SAMPLING_FRAME_RANGE,
                                 pseudo=pseudo)
             sources.append((records, mapper))
-        ratios = cfg.DATASETS.DATASET_RATIO or [1.0] * len(sources)
+        ratios = cfg.DATASETS.DATASET_RATIO
+        if not ratios or len(ratios) != len(sources):
+            ratios = [1.0] * len(sources)
         n_dev = len(jax.devices())
         batch = max(cfg.SOLVER.IMS_PER_BATCH // max(n_dev, 1), 1) * n_dev
         # fixed padded size = largest train resolution bucket (stable jit shapes)

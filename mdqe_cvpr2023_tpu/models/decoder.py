@@ -225,9 +225,11 @@ def query_initialization(params, cfg: DecoderCfg, encoded_feat, spatial_shapes,
 # decoder layer
 # ---------------------------------------------------------------------------
 
-def _ffn(p, x, suffix=""):
+def _ffn(p, x, suffix="", drop_rate=0.0, rng=None):
+    rngs = jax.random.split(rng, 2) if rng is not None else (None,) * 2
     h = jax.nn.gelu(fnn.linear(p["linear1" + suffix], x), approximate=False)
-    x = x + fnn.linear(p["linear2" + suffix], h)
+    h = fnn.dropout(h, drop_rate, rngs[0])
+    x = x + fnn.dropout(fnn.linear(p["linear2" + suffix], h), drop_rate, rngs[1])
     return fnn.layer_norm(p["norm3" + suffix], x)
 
 
@@ -240,16 +242,19 @@ def _tca_frames(T: int, n_frames_train: int):
 
 
 def _decoder_layer(p, cfg: DecoderCfg, x, x_pos, x_ref_boxes, x_inst, x_inst_pos,
-                   x_inst_ref_boxes, src, spatial_shapes, padding_mask, T: int):
+                   x_inst_ref_boxes, src, spatial_shapes, padding_mask, T: int,
+                   drop_rate=0.0, rng=None):
+    rngs = jax.random.split(rng, 6) if rng is not None else (None,) * 6
     # ----- box level (per frame, BT batch) -----
     x2 = ms_deform_attn_module(p["cross_attn"], cfg.box_attn_cfg, x + x_pos, x_ref_boxes,
                                src, spatial_shapes, padding_mask)
-    x = fnn.layer_norm(p["norm2"], x + x2)
+    x = fnn.layer_norm(p["norm2"], x + fnn.dropout(x2, drop_rate, rngs[0]))
     shortcut_x = x
 
     q = x + x_pos
-    x = fnn.layer_norm(p["norm1"], x + fnn.mha(p["self_attn"], q, q, x, cfg.n_heads))
-    x = _ffn(p, x)
+    x = fnn.layer_norm(p["norm1"], x + fnn.dropout(
+        fnn.mha(p["self_attn"], q, q, x, cfg.n_heads), drop_rate, rngs[1]))
+    x = _ffn(p, x, drop_rate=drop_rate, rng=rngs[2])
     shortcut_w = x
 
     # ----- instance level (per clip, B batch) -----
@@ -271,13 +276,15 @@ def _decoder_layer(p, cfg: DecoderCfg, x, x_pos, x_ref_boxes, x_inst, x_inst_pos
         x_inst2 = ms_deform_attn_module(p["temp_attn_inst"], cfg.inst_attn_cfg,
                                         x_inst2 + x_inst_pos, x_inst_ref_boxes,
                                         srcs_t, spatial_shapes, pm_t)
-    x_inst = fnn.layer_norm(p["norm2_inst"], x_inst + x_inst2)
+    x_inst = fnn.layer_norm(p["norm2_inst"],
+                            x_inst + fnn.dropout(x_inst2, drop_rate, rngs[3]))
 
     q_inst = x_inst + x_inst_pos
     x_inst = fnn.layer_norm(p["norm1_inst"],
-                            x_inst + fnn.mha(p["self_attn_inst"], q_inst, q_inst, x_inst,
-                                             cfg.n_heads))
-    x_inst = _ffn(p, x_inst, "_inst")
+                            x_inst + fnn.dropout(
+                                fnn.mha(p["self_attn_inst"], q_inst, q_inst, x_inst,
+                                        cfg.n_heads), drop_rate, rngs[4]))
+    x_inst = _ffn(p, x_inst, "_inst", drop_rate=drop_rate, rng=rngs[5])
     return x, x_inst
 
 
@@ -295,7 +302,7 @@ def _clip_ref_boxes(cfg: DecoderCfg, x_ref_boxes, T: int):
 
 
 def decoder_loop(params, cfg: DecoderCfg, x, x_ref_points, src, spatial_shapes,
-                 padding_mask, T: int):
+                 padding_mask, T: int, drop_rate=0.0, rng=None):
     """Returns stacked intermediates: (L+1,BT,Q,C), (L+1,B,Q,C), (L+1,BT,Q,4 cxcywh)."""
     dn = params["decoder_norm"]
     bbox = params["bbox_embed"]
@@ -318,9 +325,11 @@ def decoder_loop(params, cfg: DecoderCfg, x, x_ref_points, src, spatial_shapes,
     x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2])
 
     inter_x, inter_inst, inter_boxes = [x], [x_inst], [x_boxes]
-    for lp in params["decoder"]["layers"]:
+    for li, lp in enumerate(params["decoder"]["layers"]):
+        lrng = jax.random.fold_in(rng, li) if rng is not None else None
         x, x_inst = _decoder_layer(lp, cfg, x, x_pos, x_ref_boxes, x_inst, x_inst_pos,
-                                   x_inst_ref_boxes, src, spatial_shapes, padding_mask, T)
+                                   x_inst_ref_boxes, src, spatial_shapes, padding_mask,
+                                   T, drop_rate, lrng)
         x_boxes, x_ref_boxes, x_pos = refine(x, x_ref_boxes)
         x_inst_ref_boxes = _clip_ref_boxes(cfg, x_ref_boxes, T)
         x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2])
@@ -345,7 +354,7 @@ def _encoded_to_maps(encoded_feat, spatial_shapes):
 
 def decoder_apply(params, cfg: DecoderCfg, encoded_feat, padding_mask, spatial_shapes,
                   n_frames: int, training: bool, is_coco: bool = False,
-                  with_proto: bool = True):
+                  with_proto: bool = True, drop_rate=0.0, rng=None):
     """encoded_feat (BT,N,C); padding_mask (BT,N) True=padded; spatial_shapes static.
 
     training  -> dict with per-layer 'cls' (L,B,Q,K), 'boxes' (L,B,Q,T,4 xyxy),
@@ -357,7 +366,8 @@ def decoder_apply(params, cfg: DecoderCfg, encoded_feat, padding_mask, spatial_s
         params, cfg, encoded_feat, spatial_shapes, T, training)
 
     inter_x, inter_inst, inter_boxes = decoder_loop(
-        params, cfg, query, query_coords, encoded_feat, spatial_shapes, padding_mask, T)
+        params, cfg, query, query_coords, encoded_feat, spatial_shapes, padding_mask,
+        T, drop_rate, rng)
 
     L1, BT, Q, C = inter_x.shape
     B = BT // T

@@ -150,11 +150,13 @@ def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes):
     return srcs, masks, pos
 
 
-def detr_encode(params, cfg: MDQEModelCfg, images, image_sizes):
+def detr_encode(params, cfg: MDQEModelCfg, images, image_sizes, drop_rate=0.0,
+                rng=None):
     """backbone + input projections + deformable encoder for a (window of) frames.
     Returns (encoded (BT,N,C), mask_flat (BT,N), spatial_shapes)."""
     srcs, masks, pos = detr_backbone_features(params, cfg, images, image_sizes)
-    encoded = encoder_apply(params["transformer_enc"], cfg.encoder_cfg, srcs, masks, pos)
+    encoded = encoder_apply(params["transformer_enc"], cfg.encoder_cfg, srcs, masks,
+                            pos, drop_rate, rng)
     _, mask_flat, _, spatial_shapes = flatten_levels(srcs, masks, None)
     return encoded, mask_flat, spatial_shapes
 
@@ -168,8 +170,14 @@ def detr_mask_feats(params, cfg: MDQEModelCfg, encoded, spatial_shapes):
 
 
 def detr_apply_backbone(params, cfg: MDQEModelCfg, images, image_sizes,
-                        n_frames: int, training: bool, is_coco: bool = False):
-    """Full forward: encode + decode. Returns the decoder output dict."""
-    encoded, mask_flat, spatial_shapes = detr_encode(params, cfg, images, image_sizes)
+                        n_frames: int, training: bool, is_coco: bool = False,
+                        drop_rate: float = 0.0, rng=None):
+    """Full forward: encode + decode. Returns the decoder output dict.
+    drop_rate/rng enable the reference's 0.1 transformer dropout during training."""
+    enc_rng = jax.random.fold_in(rng, 1) if rng is not None else None
+    dec_rng = jax.random.fold_in(rng, 2) if rng is not None else None
+    encoded, mask_flat, spatial_shapes = detr_encode(params, cfg, images, image_sizes,
+                                                     drop_rate, enc_rng)
     return decoder_apply(params["transformer_dec"], cfg.decoder_cfg, encoded, mask_flat,
-                         spatial_shapes, n_frames, training, is_coco=is_coco)
+                         spatial_shapes, n_frames, training, is_coco=is_coco,
+                         drop_rate=drop_rate, rng=dec_rng)

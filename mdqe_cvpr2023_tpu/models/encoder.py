@@ -73,17 +73,23 @@ def flatten_levels(srcs: List[jax.Array], masks, pos, level_embed=None):
     return src_flat, mask_flat, pos_flat, spatial_shapes
 
 
-def _encoder_layer(p, cfg: EncoderCfg, x, x_pos, ref_boxes, spatial_shapes, padding_mask):
+def _encoder_layer(p, cfg: EncoderCfg, x, x_pos, ref_boxes, spatial_shapes,
+                   padding_mask, drop_rate=0.0, rng=None):
     x2 = ms_deform_attn_module(p["self_attn"], cfg.attn_cfg, x + x_pos, ref_boxes,
                                x, spatial_shapes, padding_mask)
-    x = fnn.layer_norm(p["norm1"], x + x2)
-    x2 = fnn.linear(p["linear2"], jax.nn.gelu(fnn.linear(p["linear1"], x), approximate=False))
-    x = fnn.layer_norm(p["norm2"], x + x2)
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    x = fnn.layer_norm(p["norm1"], x + fnn.dropout(x2, drop_rate, rngs[0]))
+    h = fnn.dropout(jax.nn.gelu(fnn.linear(p["linear1"], x), approximate=False),
+                    drop_rate, rngs[1])
+    x2 = fnn.linear(p["linear2"], h)
+    x = fnn.layer_norm(p["norm2"], x + fnn.dropout(x2, drop_rate, rngs[2]))
     return x
 
 
-def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos):
-    """srcs/masks/pos: per-level lists (BT leading dim). Returns (BT,N,C) encoded."""
+def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos, drop_rate=0.0,
+                  rng=None):
+    """srcs/masks/pos: per-level lists (BT leading dim). Returns (BT,N,C) encoded.
+    drop_rate/rng: training-time dropout (reference EncoderLayer dropout1-3)."""
     src, mask, lvl_pos, spatial_shapes = flatten_levels(srcs, masks, pos,
                                                         params["level_embed"])
     B = src.shape[0]
@@ -92,6 +98,8 @@ def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos):
     ref_boxes = jnp.broadcast_to(ref_boxes[None], (B,) + ref_boxes.shape)
 
     x = src
-    for lp in params["encoder"]["layers"]:
-        x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes, mask)
+    for i, lp in enumerate(params["encoder"]["layers"]):
+        lrng = jax.random.fold_in(rng, i) if rng is not None else None
+        x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes, mask,
+                           drop_rate, lrng)
     return fnn.layer_norm(params["encoder"]["norm"], x)

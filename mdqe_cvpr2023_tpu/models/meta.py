@@ -102,7 +102,11 @@ def postprocess_clip(cls_probs, mask_coeff, query_embeds, mask_feats,
     # stage 6: final top-k with validity (reference keeps #(> thres), at least 1)
     scores = jnp.where(keep, cls_probs.max(-1), neg)
     labels = cls_probs.argmax(-1)
-    top_scores, top_idx = jax.lax.top_k(scores, topk)
+    k_eff = min(topk, Q)
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
+    if k_eff < topk:  # tiny-Q configs: pad the slab to the fixed capacity
+        top_scores = jnp.pad(top_scores, (0, topk - k_eff), constant_values=neg)
+        top_idx = jnp.pad(top_idx, (0, topk - k_eff))
     n_above = jnp.maximum((top_scores > apply_cls_thres).sum(), 1)
     valid = (jnp.arange(topk) < n_above) & (top_scores > neg / 2)
 
@@ -130,9 +134,16 @@ def encode_frames(params, model_cfg: MDQEModelCfg, images, image_sizes):
 def encode_window(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
                   pixel_mean, pixel_std, spatial_shapes):
     """One launch for a whole window: uint8 frames are normalized on device (4x less
-    host->device traffic), then backbone + encoder + mask head."""
-    images = (frames_u8.astype(jnp.float32) - pixel_mean) / pixel_std
-    encoded, mask_flat, _ = detr_encode(params, model_cfg, images, image_sizes)
+    host->device traffic), then backbone + encoder (bf16, fp32 islands inside the
+    deform-attn core — mirrors the reference's fp16-autocast eval) + mask head (f32)."""
+    images = ((frames_u8.astype(jnp.float32) - pixel_mean) / pixel_std
+              ).astype(jnp.bfloat16)
+    bf16_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        {k: params[k] for k in ("backbone", "input_proj", "transformer_enc")})
+    p = dict(params, **bf16_params)
+    encoded, mask_flat, _ = detr_encode(p, model_cfg, images, image_sizes)
+    encoded = encoded.astype(jnp.float32)
     maskf = detr_mask_feats(params, model_cfg, encoded, spatial_shapes)
     return encoded, mask_flat, maskf
 

@@ -87,7 +87,7 @@ def prepare_targets_device(masks_full, padded_hw, match_stride: int):
 
 
 def make_train_step(model_cfg: MDQEModelCfg, crit_cfg: CriterionCfg, tx,
-                    match_stride: int = 4):
+                    match_stride: int = 4, dropout_rate: float = 0.1):
     """Returns train_step(params, opt_state, batch, rng) -> (params, opt_state,
     total_loss, loss_dict). Jit with donated params/opt_state."""
     relpos = jnp.asarray(query_relpos_grid(
@@ -95,8 +95,10 @@ def make_train_step(model_cfg: MDQEModelCfg, crit_cfg: CriterionCfg, tx,
 
     def loss_fn(params, batch, rng):
         T = crit_cfg.n_frames
+        drop_rng = jax.random.fold_in(rng, 999)
         out = detr_apply_backbone(params, model_cfg, batch["images"],
-                                  batch["image_sizes"], n_frames=T, training=True)
+                                  batch["image_sizes"], n_frames=T, training=True,
+                                  drop_rate=dropout_rate, rng=drop_rng)
         match_masks, masks8 = prepare_targets_device(
             batch["masks"], batch["images"].shape[1:3], match_stride)
         targets = {

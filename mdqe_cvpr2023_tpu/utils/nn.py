@@ -115,27 +115,33 @@ def conv_transpose2d_up2(p, x):
 
 
 def group_norm(p, x, num_groups, eps=1e-5):
-    """torch nn.GroupNorm on NHWC input: normalize per (group) over (H, W, C/G)."""
+    """torch nn.GroupNorm on NHWC input: normalize per (group) over (H, W, C/G).
+    Statistics in fp32 regardless of activation dtype (bf16-safe)."""
     B, H, W, C = x.shape
-    xg = x.reshape(B, H, W, num_groups, C // num_groups)
+    xg = x.astype(jnp.float32).reshape(B, H, W, num_groups, C // num_groups)
     mean = xg.mean(axis=(1, 2, 4), keepdims=True)
     var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(B, H, W, C)
-    return x * p["weight"] + p["bias"]
+    out = xg.reshape(B, H, W, C) * p["weight"].astype(jnp.float32) \
+        + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def layer_norm(p, x, eps=1e-5):
-    mean = x.mean(axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+    """LayerNorm with fp32 statistics (bf16-safe)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["weight"].astype(jnp.float32) \
+        + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def frozen_batch_norm(p, x, eps=1e-5):
     """FrozenBN folded at apply time: y = (x - mean) / sqrt(var+eps) * w + b on NHWC."""
-    scale = p["weight"] * jax.lax.rsqrt(p["running_var"] + eps)
-    bias = p["bias"] - p["running_mean"] * scale
-    return x * scale + bias
+    scale = (p["weight"] * jax.lax.rsqrt(p["running_var"] + eps))
+    bias = (p["bias"] - p["running_mean"] * scale)
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def mlp_init(key, in_dim, hidden_dim, out_dim, num_layers, dtype=jnp.float32):
@@ -212,3 +218,11 @@ def position_embedding_sine(not_mask, num_pos_feats, temperature=10000.0, scale=
     pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])], axis=-1).reshape(*pos_x.shape[:-1], -1)
     pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])], axis=-1).reshape(*pos_y.shape[:-1], -1)
     return jnp.concatenate([pos_y, pos_x], axis=-1)  # (B,H,W,2F) channel-last
+
+
+def dropout(x, rate: float, rng):
+    """Inverted dropout; identity when rate==0 or rng is None (eval)."""
+    if rng is None or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
