@@ -33,6 +33,8 @@ def read_image(path: str) -> np.ndarray:
     """RGB uint8 (H, W, 3)."""
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"could not read image: {path}")
         return img[:, :, ::-1].copy()
     return np.asarray(Image.open(path).convert("RGB"))
 

@@ -45,7 +45,11 @@ class CfgNode(dict):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config key: {key}")
                 node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
             node[parts[-1]] = yaml.safe_load(value)
 
     def dump(self):
