@@ -207,7 +207,9 @@ class Trainer:
             video = np.stack(frames)
             proc, _ = preprocess_frames(video, mean, std)
             out = inference_vis(self.params, self.model_cfg, self.inf_cfg, proc,
-                                image_size=(th, tw), ori_size=(H, W))
+                                image_size=(th, tw), ori_size=(H, W),
+                                pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+                                pixel_std=tuple(cfg.MODEL.PIXEL_STD))
             for score, label, mask in zip(out["pred_scores"], out["pred_labels"],
                                           out["pred_masks"]):
                 predictions.append({
@@ -303,7 +305,9 @@ def _attach_coco_eval():
             resized = _resize(img, th, tw)[None]
             proc, _ = preprocess_frames(resized)
             out = inference_image(self.params, self.model_cfg, self.inf_cfg,
-                                  proc, (th, tw), (H, W))
+                                  proc, (th, tw), (H, W),
+                                  pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+                                  pixel_std=tuple(cfg.MODEL.PIXEL_STD))
             for s, c, m in zip(out["scores"], out["classes"], out["masks"]):
                 predictions.append({"video_id": im["id"], "category_id": int(c) + 1,
                                     "score": float(s),

@@ -434,18 +434,23 @@ def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
 # ---------------------------------------------------------------------------
 
 def inference_image(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
-                    image: np.ndarray, image_size, ori_size):
+                    image: np.ndarray, image_size, ori_size,
+                    pixel_mean=(123.675, 116.28, 103.53),
+                    pixel_std=(58.395, 57.12, 57.375)):
     """COCO-style instance segmentation on one image (treated as a 1-frame clip):
     threshold, aligned-bilinear upsample, mask-quality rescoring, box-IoU soft-NMS,
     optional multi-class expansion, resize to the original size.
 
-    image: (1, Hp, Wp, 3) normalized padded. Returns dict with scores, classes,
-    masks (n, oh, ow) bool."""
+    image: (1, Hp, Wp, 3) padded uint8 (normalization happens on device).
+    Returns dict with scores, classes, masks (n, oh, ow) bool."""
     from ..utils.boxes import box_iou, masks_to_boxes
     from .detr import detr_apply_backbone
 
     sizes = jnp.asarray([list(image_size)] * image.shape[0], jnp.int32)
-    out = detr_apply_backbone(params, model_cfg, jnp.asarray(image), sizes,
+    norm = ((jnp.asarray(image).astype(jnp.float32)
+             - jnp.asarray(pixel_mean, jnp.float32))
+            / jnp.asarray(pixel_std, jnp.float32))
+    out = detr_apply_backbone(params, model_cfg, norm, sizes,
                               n_frames=image.shape[0], training=False, is_coco=True)
     cls = np.asarray(out["cls"][0])                      # (Q, K) sigmoid
     masks = np.asarray(out["masks"][0])                  # (Q, T, H4, W4)

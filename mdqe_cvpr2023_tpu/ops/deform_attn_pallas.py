@@ -205,7 +205,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
             vh = v_l.reshape(B, H, h_l, D * w_l)
             gh = g.reshape(B, H, 3 * P, Qp)
             qt_h = q_tile
-            while P * qt_h * D * w_l * 4 > 5 * 2 ** 20 and qt_h > 64 \
+            while P * qt_h * D * w_l * 4 > 6 * 2 ** 20 and qt_h > 64 \
                     and Qp % (qt_h // 2) == 0:
                 qt_h //= 2
             lvl = _deform_attn_level_heads(vh, gh, h=int(h_l), w=int(w_l), P=P,
