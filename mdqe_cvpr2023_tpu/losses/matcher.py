@@ -145,9 +145,9 @@ def clip_peak_match(gt_labels, gt_boxes, gt_ids, gt_masks8, gt_valid, ref_points
     area = jnp.where(gt_valid, boxes_c[..., 2:].prod(-1).mean(-1), BIG)
     order = jnp.argsort(area)  # ascending area, invalid last
 
-    labels_s = gt_labels[order]
+    labels_s = gt_labels[order].astype(jnp.int32)
     boxes_s = boxes_c[order]
-    ids_s = gt_ids[order]
+    ids_s = gt_ids[order].astype(jnp.int32)
     masks_s = gt_masks8[order]
     valid_s = gt_valid[order] & jnp.all(boxes_s[..., 2:] > 0, -1).any(-1) \
         & (labels_s >= 0)
@@ -172,8 +172,12 @@ def clip_peak_match(gt_labels, gt_boxes, gt_ids, gt_masks8, gt_valid, ref_points
             w = 1.0 - 2.0 * jnp.clip(dist_t[n], 0.0, 0.5)
             labels_t = jnp.where(pos, lbl, labels_t)
             ids_t = jnp.where(pos, ids_s[n, t], ids_t)
+            # write only this instance's class channel (reference matcher.py:332
+            # assigns matched_dist[t, pos, label_n]); other channels keep earlier
+            # instances' weights
             onehot = jax.nn.one_hot(lbl, num_classes, dtype=jnp.float32)
-            weight_t = jnp.where(pos[:, None], w[:, None] * onehot[None], weight_t)
+            sel = pos[:, None] & (onehot[None] > 0)
+            weight_t = jnp.where(sel, w[:, None], weight_t)
             dist_t = jnp.where(pos[None, :], BIG, dist_t)
             return labels_t, weight_t, ids_t, dist_t
 
