@@ -182,15 +182,26 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
         hw = int(h_l) * int(w_l)
         v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=1)
         start += hw
-        # channel-major (h, D*w) layout — see kernel docstring
-        v_l = v_l.reshape(BH, h_l, w_l, D).transpose(0, 1, 3, 2)
-        v_l = v_l.reshape(BH, h_l, D * w_l)
 
         gy = loc[:, :, :, l, :, 1].transpose(0, 2, 3, 1).reshape(BH, P, Q)
         gx = loc[:, :, :, l, :, 0].transpose(0, 2, 3, 1).reshape(BH, P, Q)
         aw = attw[:, :, :, l].transpose(0, 2, 3, 1).reshape(BH, P, Q)
         gy = gy * h_l - 0.5
         gx = gx * w_l - 0.5
+
+        # contract the LONGER spatial axis on the MXU (stage 1, kernel axis "h") and
+        # fold the shorter one in the VPU stage (kernel axis "w") — the elementwise
+        # cost scales with D * (folded axis)
+        if w_l < h_l:
+            # fold x: channel-major (h, D*w) layout — see kernel docstring
+            v_l = v_l.reshape(BH, h_l, w_l, D).transpose(0, 1, 3, 2)
+            v_l = v_l.reshape(BH, h_l, D * w_l)
+        else:
+            # fold y: transpose the map so the kernel's "y" is the image x axis
+            v_l = v_l.reshape(BH, h_l, w_l, D).transpose(0, 2, 3, 1)
+            v_l = v_l.reshape(BH, w_l, D * h_l)
+            gy, gx = gx, gy
+            h_l, w_l = w_l, h_l
         if pad_q:
             padv = ((0, 0), (0, 0), (0, pad_q))
             gy = jnp.pad(gy, padv, constant_values=-10.0)
