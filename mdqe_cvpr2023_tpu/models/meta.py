@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.misc import aligned_bilinear, interpolate_nearest
+from ..utils.misc import aligned_bilinear, interpolate_bilinear, interpolate_nearest
 from ..tracking import ClipResults, OverTracker
 from ..tracking.mask_memory import mem_finalize_masks
 from .decoder import decoder_apply
@@ -165,9 +165,6 @@ def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_f
                             mask_feats, apply_cls_thres, topk)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("model_cfg", "spatial_shapes", "n_frames",
-                                    "apply_cls_thres", "topk"))
 @functools.partial(jax.jit,
                    static_argnames=("model_cfg", "spatial_shapes", "n_frames",
                                     "apply_cls_thres", "topk"))
