@@ -208,7 +208,10 @@ class AugmentationPipeline:
     color_kinds: Sequence[str] = ()
     is_train: bool = True
 
-    def sample(self, rng, in_hw, n_frames: int) -> List[ClipTransform]:
+    def sample(self, rng, in_hw, n_frames: int,
+               min_size: Optional[int] = None) -> List[ClipTransform]:
+        """min_size pins the short-side draw (the loader draws one per batch so
+        every clip in a batch lands in the same resolution bucket)."""
         tfms: List[ClipTransform] = []
         hw = in_hw
         if not self.is_train:
@@ -221,7 +224,8 @@ class AugmentationPipeline:
             crop = RandomCrop(rng, hw, self.crop_type, self.crop_size)
             tfms.append(crop)
             hw = crop.out_hw
-        resize = ResizeShortestEdge(rng, hw, self.min_sizes, self.max_size)
+        sizes = [min_size] if min_size is not None else self.min_sizes
+        resize = ResizeShortestEdge(rng, hw, sizes, self.max_size)
         tfms.append(resize)
         hw = resize.out_hw
         tfms.append(RandomFlip(rng, hw))

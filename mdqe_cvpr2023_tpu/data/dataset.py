@@ -161,11 +161,12 @@ class ClipMapper:
             rng.shuffle(sel)
         return sel
 
-    def __call__(self, record: Dict, rng: np.random.Generator) -> Dict:
+    def __call__(self, record: Dict, rng: np.random.Generator,
+                 min_size: Optional[int] = None) -> Dict:
         sel = self._select_frames(rng, record["length"])
         T = len(sel)
         H, W = record["height"], record["width"]
-        tfms = self.aug.sample(rng, (H, W), T)
+        tfms = self.aug.sample(rng, (H, W), T, min_size=min_size)
 
         # instance-id registry across selected frames
         ids_present = []
@@ -269,27 +270,95 @@ def collate_clips(samples: List[Dict], max_instances: int, size_divisibility=32,
 
 class CombinedClipLoader:
     """Ratio-mixing loader over multiple (records, mapper) sources
-    (reference combined_loader.py:17-45): each batch draws a source with the given
-    ratios, then samples `batch_size` random clips from it."""
+    (reference combined_loader.py:17-45 + build.py:147-191).
+
+    TPU redesign vs the reference's multi-process DataLoader:
+      - batch k is a PURE FUNCTION of (seed, k) (`batch_at`), so (a) training can
+        resume mid-stream bit-exactly and (b) worker threads can decode/augment
+        future batches independently (`iter_from` with num_workers > 0 keeps a
+        bounded window of futures in flight — cv2/PIL release the GIL, so threads
+        overlap host decode with device steps);
+      - one short-side draw per batch ("choice_by_clip" becomes choice-by-batch)
+        so the whole batch lands in one resolution bucket from `size_buckets`,
+        keeping the jit-shape set small while recovering the FLOPs the single
+        max-size pad wasted.
+    """
 
     def __init__(self, sources, ratios, batch_size: int, max_instances: int,
-                 seed: int = 0, pad_hw=None):
+                 seed: int = 0, pad_hw=None, size_buckets=None,
+                 num_workers: int = 0, prefetch_depth: int = 4):
         assert len(sources) == len(ratios)
         self.sources = sources
         self.ratios = np.asarray(ratios, np.float64) / np.sum(ratios)
         self.batch_size = batch_size
         self.max_instances = max_instances
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.pad_hw = pad_hw
+        # sorted by area: smallest fitting bucket wins
+        self.size_buckets = sorted(size_buckets, key=lambda b: b[0] * b[1]) \
+            if size_buckets else None
+        self.num_workers = num_workers
+        self.prefetch_depth = max(prefetch_depth, num_workers)
+        self.last_wait_s = 0.0  # host time the consumer blocked on the last batch
+
+    def _bucket_for(self, maxh: int, maxw: int):
+        pad32 = lambda v: -(-v // 32) * 32
+        if self.size_buckets:
+            for bh, bw in self.size_buckets:
+                if maxh <= bh and maxw <= bw:
+                    return bh, bw
+        if self.pad_hw and maxh <= self.pad_hw[0] and maxw <= self.pad_hw[1]:
+            return self.pad_hw
+        return pad32(maxh), pad32(maxw)  # rare fallback (extreme aspect ratios)
+
+    def batch_at(self, k: int) -> Dict:
+        rng = np.random.default_rng([self.seed, k])
+        si = int(rng.choice(len(self.sources), p=self.ratios))
+        records, mapper = self.sources[si]
+        min_size = None
+        if mapper.aug.is_train and mapper.aug.min_sizes:
+            min_size = int(rng.choice(list(mapper.aug.min_sizes)))
+        samples = []
+        while len(samples) < self.batch_size:
+            rec = records[int(rng.integers(0, len(records)))]
+            s = mapper(rec, rng, min_size=min_size)
+            if (s["labels"] >= 0).any():
+                samples.append(s)
+        maxh = max(s["height"] for s in samples)
+        maxw = max(s["width"] for s in samples)
+        return collate_clips(samples, self.max_instances,
+                             pad_hw=self._bucket_for(maxh, maxw))
 
     def __iter__(self):
-        while True:
-            si = int(self.rng.choice(len(self.sources), p=self.ratios))
-            records, mapper = self.sources[si]
-            samples = []
-            while len(samples) < self.batch_size:
-                rec = records[int(self.rng.integers(0, len(records)))]
-                s = mapper(rec, self.rng)
-                if (s["labels"] >= 0).any():
-                    samples.append(s)
-            yield collate_clips(samples, self.max_instances, pad_hw=self.pad_hw)
+        return self.iter_from(0)
+
+    def iter_from(self, start: int = 0):
+        """Infinite batch stream starting at index `start` (pass the resume
+        iteration to continue an interrupted run on the exact same data)."""
+        import time as _time
+        if self.num_workers <= 0:
+            k = start
+            while True:
+                t0 = _time.perf_counter()
+                b = self.batch_at(k)
+                self.last_wait_s = _time.perf_counter() - t0
+                yield b
+                k += 1
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        ex = ThreadPoolExecutor(self.num_workers,
+                                thread_name_prefix="clip_loader")
+        try:
+            pending = deque(ex.submit(self.batch_at, start + i)
+                            for i in range(self.prefetch_depth))
+            k = start + self.prefetch_depth
+            while True:
+                t0 = _time.perf_counter()
+                b = pending.popleft().result()
+                self.last_wait_s = _time.perf_counter() - t0
+                pending.append(ex.submit(self.batch_at, k))
+                k += 1
+                yield b
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)

@@ -71,6 +71,11 @@ def build_train_cfg(cfg: CfgNode) -> TrainCfg:
 
 def build_inference_cfg(cfg: CfgNode) -> InferenceCfg:
     m = cfg.MODEL.MDQE
+    n_query = int(math.sqrt(m.NUM_OBJECT_QUERIES)) ** 2
+    # per-clip detection slab: the reference admits up to 10*DETECTIONS_PER_IMAGE
+    # deduped candidates per clip into the tracker (mdqe/mdqe.py:380); never more
+    # than the query count can survive
+    clip_topk = min(10 * cfg.TEST.DETECTIONS_PER_IMAGE, n_query)
     return InferenceCfg(
         clip_stride=m.CLIP_STRIDE,
         n_frames_test=m.SAMPLING_FRAME_NUM_TEST,
@@ -80,5 +85,6 @@ def build_inference_cfg(cfg: CfgNode) -> InferenceCfg:
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         multi_cls_on=m.MULTI_CLS_ON,
         match_stride=m.MATCH_STRIDE,
+        clip_topk=clip_topk,
         num_classes=m.NUM_CLASSES,
     )

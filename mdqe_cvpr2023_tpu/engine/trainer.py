@@ -3,6 +3,7 @@ train_net.py:46-221, rebuilt TPU-native: data-parallel jit train step over a dev
 mesh, orbax checkpointing, periodic dev-split eval, jax.profiler tracing hooks)."""
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -27,6 +28,13 @@ from .build import (build_criterion_cfg, build_inference_cfg, build_model_cfg,
 from .checkpoint import load_torch_checkpoint
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_train_step(model_cfg, crit_cfg, train_cfg, match_stride):
+    tx = make_optimizer(train_cfg)
+    return tx, make_train_step(model_cfg, crit_cfg, tx,
+                               match_stride=match_stride)
+
+
 class Trainer:
     def __init__(self, cfg, datasets_root: Optional[str] = None):
         self.cfg = cfg
@@ -40,10 +48,12 @@ class Trainer:
 
         self.mesh = make_mesh()
         self.params = self._init_or_load_params(cfg)
-        self.tx = make_optimizer(self.train_cfg)
+        # shared across Trainer instances with equal configs so re-created
+        # trainers (e.g. resume in the same process, tests) reuse the jit cache
+        self.tx, self.step_fn = _cached_train_step(
+            self.model_cfg, self.crit_cfg, self.train_cfg,
+            cfg.MODEL.MDQE.MATCH_STRIDE)
         self.opt_state = self.tx.init(self.params)
-        self.step_fn = make_train_step(self.model_cfg, self.crit_cfg, self.tx,
-                                       match_stride=cfg.MODEL.MDQE.MATCH_STRIDE)
         self.iteration = 0
 
     # ------------------------------------------------------------------
@@ -63,6 +73,8 @@ class Trainer:
         cfg = self.cfg
         n_frames = cfg.INPUT.SAMPLING_FRAME_NUM
         sources = []
+        buckets = set()
+        pad = lambda v: -(-v // 32) * 32
         for name in cfg.DATASETS.TRAIN:
             records = get_dataset(name, self.datasets_root)
             pseudo = name.startswith("coco")
@@ -79,27 +91,36 @@ class Trainer:
             mapper = ClipMapper(aug, n_frames, cfg.INPUT.SAMPLING_FRAME_RANGE,
                                 pseudo=pseudo)
             sources.append((records, mapper))
+            # resolution buckets per source: {median, max} short side x
+            # {16:9-bound, max-size} width -> a handful of stable jit shapes
+            # covering the batch-consistent short-side draws (batches whose
+            # content exceeds every bucket fall back to exact pad32 shapes)
+            ms = sorted(inp.MIN_SIZE_TRAIN)
+            for m in {ms[(len(ms) - 1) // 2], ms[-1]}:
+                wide = min(inp.MAX_SIZE_TRAIN, -(-16 * m // 9))
+                buckets.add((pad(m), pad(wide)))
+                buckets.add((pad(m), pad(inp.MAX_SIZE_TRAIN)))
         ratios = cfg.DATASETS.DATASET_RATIO
         if not ratios or len(ratios) != len(sources):
             ratios = [1.0] * len(sources)
         n_dev = len(jax.devices())
         batch = max(cfg.SOLVER.IMS_PER_BATCH // max(n_dev, 1), 1) * n_dev
-        # fixed padded size = largest train resolution bucket (stable jit shapes)
-        max_short = max(cfg.INPUT.MIN_SIZE_TRAIN)
-        pad = lambda v: -(-v // 32) * 32
-        pad_hw = (pad(max_short), pad(cfg.INPUT.MAX_SIZE_TRAIN))
         return CombinedClipLoader(sources, ratios, batch,
                                   cfg.MODEL.MDQE.MAX_NUM_INSTANCES // 6 or 20,
-                                  seed=cfg.get("SEED", 0), pad_hw=pad_hw)
+                                  seed=cfg.get("SEED", 0),
+                                  size_buckets=sorted(buckets),
+                                  num_workers=cfg.DATALOADER.NUM_WORKERS)
 
     # ------------------------------------------------------------------
     def train(self, max_iter: Optional[int] = None, log_every: int = 20,
               profile_at: Optional[int] = None):
-        loader = iter(self.build_train_loader())
+        source = self.build_train_loader()
+        loader = source.iter_from(self.iteration)  # resume-exact data stream
         max_iter = max_iter or self.train_cfg.max_iter
         ckpt_period = self.cfg.SOLVER.CHECKPOINT_PERIOD
         eval_period = self.cfg.TEST.EVAL_PERIOD
         rng = jax.random.PRNGKey(17)
+        data_wait = 0.0
 
         with self.mesh:
             params = replicate(self.params, self.mesh)
@@ -110,6 +131,7 @@ class Trainer:
                     jax.profiler.start_trace(os.path.join(self.output_dir, "trace"))
                 batch = shard_batch(jax.tree.map(jnp.asarray, next(loader)),
                                     self.mesh)
+                data_wait += source.last_wait_s
                 params, opt_state, total, ldict = self.step_fn(
                     params, opt_state, batch, jax.random.fold_in(rng, self.iteration))
                 self.iteration += 1
@@ -120,7 +142,10 @@ class Trainer:
                     dt = (time.perf_counter() - t_last) / log_every
                     t_last = time.perf_counter()
                     row = {"iteration": self.iteration,
-                           "total_loss": float(total), "sec_per_iter": dt}
+                           "total_loss": float(total), "sec_per_iter": dt,
+                           "data_wait_sec_per_iter": data_wait / log_every,
+                           "data_wait_frac": data_wait / max(dt * log_every, 1e-9)}
+                    data_wait = 0.0
                     row.update({k: float(v) for k, v in ldict.items()})
                     with open(os.path.join(self.output_dir, "metrics.jsonl"),
                               "a") as f:
@@ -139,18 +164,33 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self):
+        """Full training-state checkpoint: params + optimizer state + iteration
+        (the reference resumes optimizer+scheduler via D2's checkpointer,
+        train_net.py:243,257 — `step` drives the LR schedule, so saving it
+        restores the scheduler too)."""
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.output_dir,
                                             f"ckpt_{self.iteration:07d}"))
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, {"params": self.params, "step": self.iteration}, force=True)
+        state = {"params": self.params, "opt_state": self.opt_state,
+                 "step": self.iteration}
+        ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
         print(f"saved checkpoint {path}", flush=True)
 
     def load_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(path))
+        # restore with the live state as the item template so optax's typed
+        # containers (ScaleByAdamState etc.) round-trip; fall back to raw-tree
+        # restore for params-only checkpoints from older saves
+        template = {"params": self.params, "opt_state": self.opt_state,
+                    "step": self.iteration}
+        try:
+            restored = ckptr.restore(os.path.abspath(path), template)
+            self.opt_state = restored["opt_state"]
+        except BaseException:
+            restored = ckptr.restore(os.path.abspath(path))
         self.params = restored["params"]
         self.iteration = int(restored.get("step", 0))
 

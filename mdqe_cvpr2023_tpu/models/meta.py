@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ..utils.misc import aligned_bilinear, interpolate_bilinear, interpolate_nearest
 from ..tracking import ClipResults, OverTracker
-from ..tracking.mask_memory import mem_finalize_masks
 from .decoder import decoder_apply
 from .detr import MDQEModelCfg, detr_encode, detr_mask_feats
 
@@ -244,6 +243,19 @@ def spatial_shapes_for(model_cfg: MDQEModelCfg, padded_hw) -> Tuple[Tuple[int, i
 # host-side windowed video inference (reference inference_vis :291-366)
 # ---------------------------------------------------------------------------
 
+# host-blocking time per pipeline stage, accumulated across inference_vis calls
+# (reset + read by tools/profile_inference.py; perf_counter cost is negligible)
+TIMERS: dict = {}
+
+
+def _timed(name: str, fn, *args, **kw):
+    import time as _time
+    t0 = _time.perf_counter()
+    out = fn(*args, **kw)
+    TIMERS[name] = TIMERS.get(name, 0.0) + (_time.perf_counter() - t0)
+    TIMERS[name + "_n"] = TIMERS.get(name + "_n", 0) + 1
+    return out
+
 def preprocess_frames(frames_u8, pixel_mean=None, pixel_std=None,
                       size_divisibility=32):
     """frames_u8: (T, H, W, 3) uint8 RGB. Returns zero-padded uint8 (T, Hp, Wp, 3)
@@ -314,8 +326,10 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                 pad = W_win - wf.shape[0]
                 wf = np.concatenate([wf] + [wf[-1:]] * pad)
                 sz = np.concatenate([sz] + [sz[-1:]] * pad)
-            windows[ws] = encode_window(params, model_cfg, jnp.asarray(wf),
-                                        jnp.asarray(sz), mean_dev, std_dev, shapes)
+            wf_dev = _timed("frame_upload", jnp.asarray, wf)
+            windows[ws] = _timed("encode_dispatch", encode_window, params,
+                                 model_cfg, wf_dev, jnp.asarray(sz),
+                                 mean_dev, std_dev, shapes)
             for k in list(windows):  # keep only current + next window alive
                 if k not in (ws, wstart):
                     del windows[k]
@@ -324,9 +338,9 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     def dispatch_clip(i):
         _, start_eff, ws, we = schedule[i]
         enc, mflat, maskf = get_window(ws, we)
-        return decode_clip_windowed(params, model_cfg, enc, mflat, shapes, maskf,
-                                    start_eff - ws, T_clip,
-                                    inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
+        return _timed("decode_dispatch", decode_clip_windowed, params, model_cfg,
+                      enc, mflat, shapes, maskf, start_eff - ws, T_clip,
+                      inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
 
     # cached device constants (uploads cost ~ms each through the tunnel)
     _f0_cache, _ov_cache = {}, {}
@@ -336,38 +350,44 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
             cache[val] = jnp.asarray(arr)
         return cache[val]
 
+    import time as _time
     res = dispatch_clip(0)
     for i, (start_idx, start_eff, wstart, wend) in enumerate(schedule):
+        _it0 = _time.perf_counter()
         is_last_clip = i == len(schedule) - 1
         frame_idx = list(range(start_eff, start_eff + T_clip))
         f0, overlap = tracker.clip_offsets(frame_idx)
         f0_dev = dev_const(_f0_cache, f0, np.int32(f0))
         ov_dev = dev_const(_ov_cache, tuple(overlap), overlap)
-        packed = siou_and_pack(res, tracker.logit_sum, tracker.valid_count,
-                               tracker.clip_count_dev, f0_dev, ov_dev)
+        packed = _timed("siou_dispatch", siou_and_pack, res, tracker.logit_sum,
+                        tracker.valid_count, tracker.clip_count_dev, f0_dev,
+                        ov_dev)
         clip_masks = res["masks"]
         if not is_last_clip:
             res = dispatch_clip(i + 1)  # queue next decode before syncing this one
+        packed_host = _timed("clip_sync", np.asarray, packed)
         scores, classes, valid, cls_probs, embeds, siou = unpack_clip_meta(
-            np.asarray(packed), inf_cfg.clip_topk, inf_cfg.num_classes,
+            packed_host, inf_cfg.clip_topk, inf_cfg.num_classes,
             model_cfg.hidden_dim, inf_cfg.max_num_instances + 1)
         clip_res = ClipResults(
             frame_idx=frame_idx,
             scores=scores, classes=classes, cls_probs=cls_probs,
             mask_logits=clip_masks, query_embeds=embeds, valid=valid,
         )
-        tracker.update(clip_res, siou_full=siou)
+        _timed("tracker_update", tracker.update, clip_res, siou_full=siou)
 
         is_output = start_idx + stride >= W_win * (saved_clips + 1)
         if is_last_clip or is_output:
-            out_cls, avg_logits, len_frames = tracker.get_result(
-                is_last_clip=is_last_clip)
+            # one fused device call: average + finalize (bit-packed original-size
+            # masks) + rollover, with the big memory buffers donated
+            out_cls, packed_dev, len_frames = _timed(
+                "finalize_dispatch", tracker.get_result,
+                is_last_clip=is_last_clip,
+                finalize_args=(inf_cfg.match_stride, image_size, ori_size))
             n = out_cls.shape[0]
             if n > 0:
-                packed = mem_finalize_masks(
-                    avg_logits[:, :max(len_frames, 1)], inf_cfg.match_stride,
-                    tuple(image_size), tuple(ori_size))
-                packed_np = np.asarray(packed[:n, :len_frames])  # (n, len, oh, ow/8)
+                packed_np = _timed("finalize_sync", np.asarray,
+                                   packed_dev[:n, :len_frames])  # (n,len,oh,ow/8)
             else:
                 packed_np = np.zeros((0, len_frames, ori_size[0],
                                       -(-ori_size[1] // 8)), np.uint8)
@@ -375,10 +395,15 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
             pred_cls_clips.append(out_cls)
             saved_clips += 1
 
+        _it_ms = 1e3 * (_time.perf_counter() - _it0)
+        TIMERS["loop_iter"] = TIMERS.get("loop_iter", 0.0) + _it_ms / 1e3
+        TIMERS["loop_iter_n"] = TIMERS.get("loop_iter_n", 0) + 1
+        TIMERS.setdefault("clip_ms_series", []).append(round(_it_ms, 1))
         if is_last_clip:
             break
 
-    out = inference_video(inf_cfg, ori_size, pred_cls_clips, pred_masks_clips)
+    out = _timed("merge_video", inference_video, inf_cfg, ori_size,
+                 pred_cls_clips, pred_masks_clips)
     if real_len < video_len:  # drop the short-video padding frames
         out["pred_masks"] = [m[:real_len] for m in out["pred_masks"]]
     return out

@@ -20,8 +20,13 @@ encoder scale (q_tile=256, bf16 compute).
 Contract matches ops.deform_attn.ms_deform_attn:
   value (B, N, H, D), spatial_shapes static [(h, w)...], sampling_locations
   (B, Q, H, L, P, 2) in [0,1] (x, y), attention_weights (B, Q, H, L, P) ->
-  (B, Q, H*D).  The VJP falls back to the XLA gather formulation (training-time
-  only, mirroring the reference's fast-kernel/oracle pairing).
+  (B, Q, H*D).
+
+The custom VJP is also gather/scatter-free Pallas (the reference ships a CUDA
+atomicAdd col2im backward, ms_deform_im2col_cuda.cuh:301-1326): one fused kernel
+produces (grad_loc, grad_attn) by re-running the forward stages with derivative
+hats, and a q-accumulating kernel produces grad_value as hy^T @ (hx*a (x) g).
+On CPU the VJP falls back to differentiating the XLA gather formulation.
 """
 from __future__ import annotations
 
@@ -36,8 +41,13 @@ from .deform_attn import _ms_deform_attn_xla
 
 Q_TILE = 256
 
+# interpret-mode switch: lets the CPU test suite execute the kernels through the
+# Pallas interpreter (tests set this; real TPU runs keep it False)
+_INTERPRET = False
 
-def _level_kernel(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, compute_dtype):
+
+def _level_kernel(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, compute_dtype,
+                  interpret=False):
     """Grid cell: one (b*h, q-tile).
     g (1, 3P, Qt): rows [gy(P); gx(P); aw(P)] — p-major, lane dim = Qt (aligned).
     v (1, h, D*w) channel-major; comb (D*w, D); out (1, Qt, D)."""
@@ -55,14 +65,15 @@ def _level_kernel(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, compute_dtype)
 
     s = jnp.dot(hat_y.astype(compute_dtype), v_ref[0].astype(compute_dtype),
                 preferred_element_type=jnp.float32)                 # (PQt, D*w)
-    t = s.astype(compute_dtype) * pltpu.repeat(hat_x.astype(compute_dtype), D, axis=1)
+    t = s.astype(compute_dtype) * _repeat_cols(hat_x.astype(compute_dtype), D,
+                                               interpret)
     outp = jnp.dot(t, comb_ref[:].astype(compute_dtype),
                    preferred_element_type=jnp.float32)              # (PQt, D)
     out_ref[0] = outp.reshape(P, Qt, D).sum(axis=0)
 
 
 def _level_kernel_heads(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, H,
-                        compute_dtype):
+                        compute_dtype, interpret=False):
     """Variant that loops all H heads of one frame inside a grid cell, amortizing
     per-cell pipeline overhead (used for wide levels where the q-tile can't grow).
     g (1, H, 3P, Qt); v (1, H, h, D*w); comb (D*w, D); out (1, H, Qt, D)."""
@@ -80,16 +91,17 @@ def _level_kernel_heads(g_ref, v_ref, comb_ref, out_ref, *, h, w, D, P, H,
 
         s = jnp.dot(hat_y.astype(compute_dtype), v_ref[0, head].astype(compute_dtype),
                     preferred_element_type=jnp.float32)
-        t = s.astype(compute_dtype) * pltpu.repeat(hat_x.astype(compute_dtype), D,
-                                                   axis=1)
+        t = s.astype(compute_dtype) * _repeat_cols(hat_x.astype(compute_dtype), D,
+                                                   interpret)
         outp = jnp.dot(t, comb_ref[:].astype(compute_dtype),
                        preferred_element_type=jnp.float32)
         out_ref[0, head] = outp.reshape(P, Qt, D).sum(axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "P", "H", "q_tile",
-                                             "compute_dtype_name"))
-def _deform_attn_level_heads(v, g, *, h, w, P, H, q_tile, compute_dtype_name):
+                                             "compute_dtype_name", "interpret"))
+def _deform_attn_level_heads(v, g, *, h, w, P, H, q_tile, compute_dtype_name,
+                             interpret=False):
     """v (B, H, h, D*w); g (B, H, 3P, Qp) -> (B, H, Qp, D) f32."""
     B = v.shape[0]
     Qp = g.shape[3]
@@ -102,7 +114,7 @@ def _deform_attn_level_heads(v, g, *, h, w, P, H, q_tile, compute_dtype_name):
     flops = 2 * B * H * Qp * P * (h + D) * w * D
     return pl.pallas_call(
         functools.partial(_level_kernel_heads, h=h, w=w, D=D, P=P, H=H,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
         grid=(B, Qp // q_tile),
         in_specs=[
@@ -119,6 +131,7 @@ def _deform_attn_level_heads(v, g, *, h, w, P, H, q_tile, compute_dtype_name):
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=v.size * 2,
                                       transcendentals=0),
+        interpret=interpret,
     )(g, v, comb)
 
 
@@ -127,8 +140,9 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w", "P", "q_tile",
-                                             "compute_dtype_name"))
-def _deform_attn_level(v, g, *, h, w, P, q_tile, compute_dtype_name):
+                                             "compute_dtype_name", "interpret"))
+def _deform_attn_level(v, g, *, h, w, P, q_tile, compute_dtype_name,
+                       interpret=False):
     """v (BH, h, D*w); g (BH, 3P, Qp) fp32, Qp % q_tile == 0 -> (BH, Qp, D) f32."""
     BH, _, Qp = g.shape
     D = v.shape[2] // w
@@ -141,7 +155,7 @@ def _deform_attn_level(v, g, *, h, w, P, q_tile, compute_dtype_name):
     flops = 2 * BH * Qp * P * (h + D) * w * D
     return pl.pallas_call(
         functools.partial(_level_kernel, h=h, w=w, D=D, P=P,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, interpret=interpret),
         out_shape=jax.ShapeDtypeStruct((BH, Qp, D), jnp.float32),
         grid=(BH, Qp // q_tile),
         in_specs=[
@@ -158,7 +172,179 @@ def _deform_attn_level(v, g, *, h, w, P, q_tile, compute_dtype_name):
             dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=v.size * 2,
                                       transcendentals=0),
+        interpret=interpret,
     )(g, v, comb)
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+#
+# The hat-matmul transposes cleanly (reference backward:
+# ms_deform_im2col_cuda.cuh:301-1326, atomicAdd col2im — here gather/scatter-free):
+#   d out[q,d] / d a[q,p]  = sum_y sum_x hy hx V          (forward with a == 1)
+#   d out[q,d] / d gy[q,p] = a * sum hy' hx V             (hy' = sign(y-gy) on supp)
+#   d out[q,d] / d gx[q,p] = a * sum hy hx' V
+#   grad_V[y, x, d] = sum_{q,p} hy * (a hx) * G[q, d]     (one transposed matmul,
+#                                                          accumulated over q tiles)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_sample_kernel(g_ref, v_ref, comb_ref, gout_ref, out_ref, *, h, w, D, P,
+                       compute_dtype, interpret=False):
+    """Grid cell: one (b*h, q-tile). Emits gradients for sampling locations and
+    attention weights.
+    g (1, 3P, Qt) rows [gy; gx; aw]; v (1, h, D*w) channel-major; comb (D*w, D);
+    gout (1, Qt, D) upstream; out (1, 3P, Qt) rows [dgy; dgx; daw]."""
+    g = g_ref[0]
+    Qt = g.shape[1]
+    gy = g[:P]
+    gx = g[P:2 * P]
+    aw = g[2 * P:3 * P]
+
+    iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h), 2).astype(jnp.float32)
+    dy = iy - gy[..., None]
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy)).reshape(P * Qt, h)
+    dhy = jnp.where(jnp.abs(dy) < 1.0, jnp.sign(dy), 0.0).reshape(P * Qt, h)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w), 2).astype(jnp.float32)
+    dx = ix - gx[..., None]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).reshape(P * Qt, w)
+    dhx = jnp.where(jnp.abs(dx) < 1.0, jnp.sign(dx), 0.0).reshape(P * Qt, w)
+
+    v = v_ref[0].astype(compute_dtype)
+    s = jnp.dot(hy.astype(compute_dtype), v,
+                preferred_element_type=jnp.float32)                  # (PQt, D*w)
+    sd = jnp.dot(dhy.astype(compute_dtype), v,
+                 preferred_element_type=jnp.float32)
+    hxr = _repeat_cols(hx.astype(compute_dtype), D, interpret)
+    dhxr = _repeat_cols(dhx.astype(compute_dtype), D, interpret)
+    comb = comb_ref[:].astype(compute_dtype)
+    z_a = jnp.dot((s.astype(compute_dtype) * hxr), comb,
+                  preferred_element_type=jnp.float32)                # (PQt, D)
+    z_gy = jnp.dot((sd.astype(compute_dtype) * hxr), comb,
+                   preferred_element_type=jnp.float32)
+    z_gx = jnp.dot((s.astype(compute_dtype) * dhxr), comb,
+                   preferred_element_type=jnp.float32)
+
+    gout = gout_ref[0]                                                # (Qt, D)
+    da = (z_a.reshape(P, Qt, D) * gout[None]).sum(-1)                 # (P, Qt)
+    dgy = (z_gy.reshape(P, Qt, D) * gout[None]).sum(-1) * aw
+    dgx = (z_gx.reshape(P, Qt, D) * gout[None]).sum(-1) * aw
+    out_ref[0, :P] = dgy
+    out_ref[0, P:2 * P] = dgx
+    out_ref[0, 2 * P:3 * P] = da
+
+
+def _bwd_value_kernel(g_ref, gout_ref, expand_ref, out_ref, *, h, w, D, P,
+                      compute_dtype, interpret=False):
+    """Grid: (b*h parallel, q-tiles sequential-accumulating).
+    g (1, 3P, Qt); gout (1, Qt, D); expand (D, D*w) with expand[d, d'w+x]=(d==d');
+    out (1, h, D*w) += hy^T @ [repeat(hx*a, D) * (Gp @ expand)]."""
+    g = g_ref[0]
+    Qt = g.shape[1]
+    gy = g[:P]
+    gx = g[P:2 * P]
+    aw = g[2 * P:3 * P]
+
+    # hy directly transposed: (h, P, Qt) -> (h, P*Qt)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, P, Qt), 0).astype(jnp.float32)
+    hyT = jnp.maximum(0.0, 1.0 - jnp.abs(yy - gy[None])).reshape(h, P * Qt)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w), 2).astype(jnp.float32)
+    hxa = (jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None]))
+           * aw[..., None]).reshape(P * Qt, w)
+
+    gout = gout_ref[0].astype(compute_dtype)                          # (Qt, D)
+    gp = _repeat_rows(gout, P, interpret)                             # (PQt, D)
+    gexp = jnp.dot(gp, expand_ref[:].astype(compute_dtype),
+                   preferred_element_type=jnp.float32)                # (PQt, D*w)
+    m = _repeat_cols(hxa.astype(compute_dtype), D, interpret) \
+        * gexp.astype(compute_dtype)
+    acc = jnp.dot(hyT.astype(compute_dtype), m,
+                  preferred_element_type=jnp.float32)                 # (h, D*w)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += acc
+
+
+def _repeat_cols(x, n, interpret):
+    """Tile the whole column block n times: (R, C) -> (R, n*C)."""
+    if interpret:
+        return jnp.concatenate([x] * n, axis=1)
+    return pltpu.repeat(x, n, axis=1)
+
+
+def _repeat_rows(x, n, interpret):
+    if interpret:
+        return jnp.concatenate([x] * n, axis=0)
+    return pltpu.repeat(x, n, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "P", "q_tile",
+                                             "compute_dtype_name", "interpret"))
+def _deform_attn_level_bwd(v, g, gout, *, h, w, P, q_tile, compute_dtype_name,
+                           interpret=False):
+    """v (BH, h, D*w); g (BH, 3P, Qp); gout (BH, Qp, D) ->
+    (dg (BH, 3P, Qp) [dgy; dgx; daw], dv (BH, h, D*w))."""
+    BH, _, Qp = g.shape
+    D = gout.shape[2]
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    comb = (jax.lax.broadcasted_iota(jnp.int32, (D * w, D), 0) // w
+            == jax.lax.broadcasted_iota(jnp.int32, (D * w, D), 1)
+            ).astype(compute_dtype)
+    expand = (jax.lax.broadcasted_iota(jnp.int32, (D, D * w), 1) // w
+              == jax.lax.broadcasted_iota(jnp.int32, (D, D * w), 0)
+              ).astype(compute_dtype)
+
+    flops_s = 2 * BH * Qp * P * (2 * h + 3 * D) * w * D
+    dg = pl.pallas_call(
+        functools.partial(_bwd_sample_kernel, h=h, w=w, D=D, P=P,
+                          compute_dtype=compute_dtype, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((BH, 3 * P, Qp), jnp.float32),
+        grid=(BH, Qp // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, D * w), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D * w, D), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, D), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(flops=flops_s, bytes_accessed=v.size * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(g, v, comb, gout)
+
+    flops_v = 2 * BH * Qp * P * (h + D) * w * D
+    dv = pl.pallas_call(
+        functools.partial(_bwd_value_kernel, h=h, w=w, D=D, P=P,
+                          compute_dtype=compute_dtype, interpret=interpret),
+        out_shape=jax.ShapeDtypeStruct((BH, h, D * w), jnp.float32),
+        grid=(BH, Qp // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, D), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D * w), lambda b, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, D * w), lambda b, q: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(flops=flops_v, bytes_accessed=v.size * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(g, gout, expand)
+    return dg, dv
 
 
 def _forward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -221,7 +407,8 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
                 qt_h //= 2
             lvl = _deform_attn_level_heads(vh, gh, h=int(h_l), w=int(w_l), P=P,
                                            H=H, q_tile=qt_h,
-                                           compute_dtype_name=compute_dtype_name)
+                                           compute_dtype_name=compute_dtype_name,
+                                           interpret=_INTERPRET)
             lvl = lvl.reshape(BH, Qp, D)
         else:
             qt_l = min(2 * q_tile, Qp)
@@ -229,7 +416,8 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights,
                 qt_l = q_tile
             lvl = _deform_attn_level(v_l, g, h=int(h_l), w=int(w_l), P=P,
                                      q_tile=qt_l,
-                                     compute_dtype_name=compute_dtype_name)
+                                     compute_dtype_name=compute_dtype_name,
+                                     interpret=_INTERPRET)
         out = out + lvl
 
     out = out[:, :Q].reshape(B, H, Q, D).transpose(0, 2, 1, 3)
@@ -252,11 +440,103 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights, q_tile,
     return out, (value, sampling_locations, attention_weights)
 
 
+def _backward(value, spatial_shapes, sampling_locations, attention_weights,
+              g_up, q_tile: int, compute_dtype_name: str):
+    """Pallas hat-matmul backward: per level, one fused kernel for
+    (grad_loc, grad_attn) and one q-accumulating kernel for grad_value.
+    Mirrors _forward's layout/axis-swap/padding choices exactly."""
+    B, N, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    BH = B * H
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+    Qp = _round_up(Q, q_tile)
+    pad_q = Qp - Q
+
+    vt = value.transpose(0, 2, 1, 3).reshape(BH, N, D)
+    vt = vt.astype(jnp.dtype(compute_dtype_name))
+    gout = g_up.reshape(B, Q, H, D).transpose(0, 2, 1, 3).reshape(BH, Q, D)
+    gout = gout.astype(jnp.float32)
+    if pad_q:
+        gout = jnp.pad(gout, ((0, 0), (0, pad_q), (0, 0)))
+
+    dvalue_parts, dloc_parts, dattw_parts = [], [], []
+    start = 0
+    for l, (h_l, w_l) in enumerate(spatial_shapes):
+        hw = int(h_l) * int(w_l)
+        v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=1)
+        start += hw
+
+        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 3, 1).reshape(BH, P, Q)
+        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 3, 1).reshape(BH, P, Q)
+        aw = attw[:, :, :, l].transpose(0, 2, 3, 1).reshape(BH, P, Q)
+        gy = gy * h_l - 0.5
+        gx = gx * w_l - 0.5
+
+        swap = not (w_l < h_l)
+        if not swap:
+            v_arr = v_l.reshape(BH, h_l, w_l, D).transpose(0, 1, 3, 2)
+            v_arr = v_arr.reshape(BH, h_l, D * w_l)
+            h_eff, w_eff = int(h_l), int(w_l)
+        else:
+            v_arr = v_l.reshape(BH, h_l, w_l, D).transpose(0, 2, 3, 1)
+            v_arr = v_arr.reshape(BH, w_l, D * h_l)
+            gy, gx = gx, gy
+            h_eff, w_eff = int(w_l), int(h_l)
+        if pad_q:
+            padv = ((0, 0), (0, 0), (0, pad_q))
+            gy = jnp.pad(gy, padv, constant_values=-10.0)
+            gx = jnp.pad(gx, padv, constant_values=-10.0)
+            aw = jnp.pad(aw, padv)
+        g = jnp.concatenate([gy, gx, aw], axis=1)  # (BH, 3P, Qp)
+
+        # the backward keeps TWO stage-1 buffers (s and s') alive -> halve the
+        # q-tile until both fit comfortably in scoped VMEM
+        qt = min(q_tile, Qp)
+        while 2 * P * qt * D * w_eff * 4 > 10 * 2 ** 20 and qt > 32 \
+                and Qp % (qt // 2) == 0:
+            qt //= 2
+        dg, dv = _deform_attn_level_bwd(v_arr, g, gout, h=h_eff, w=w_eff, P=P,
+                                        q_tile=qt,
+                                        compute_dtype_name=compute_dtype_name,
+                                        interpret=_INTERPRET)
+        dgy = dg[:, :P, :Q]
+        dgx = dg[:, P:2 * P, :Q]
+        da = dg[:, 2 * P:3 * P, :Q]
+        if swap:
+            dgy, dgx = dgx, dgy
+        # chain to normalized locations: gx = loc_x * w - 0.5, gy = loc_y * h - 0.5
+        dloc_parts.append(jnp.stack([dgx * w_l, dgy * h_l], axis=-1))  # (BH,P,Q,2)
+        dattw_parts.append(da)
+
+        if not swap:
+            dv = dv.reshape(BH, h_l, D, w_l).transpose(0, 1, 3, 2)  # (BH,h,w,D)
+        else:
+            dv = dv.reshape(BH, w_l, D, h_l).transpose(0, 3, 1, 2)
+        dvalue_parts.append(dv.reshape(BH, hw, D))
+
+    dvalue = jnp.concatenate(dvalue_parts, axis=1)                   # (BH, N, D)
+    dvalue = dvalue.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    dloc = jnp.stack(dloc_parts, axis=1)                             # (BH,L,P,Q,2)
+    dloc = dloc.reshape(B, H, L, P, Q, 2).transpose(0, 4, 1, 2, 3, 5)
+    dattw = jnp.stack(dattw_parts, axis=1)                           # (BH,L,P,Q)
+    dattw = dattw.reshape(B, H, L, P, Q).transpose(0, 4, 1, 2, 3)
+    return (dvalue.astype(value.dtype),
+            dloc.astype(sampling_locations.dtype),
+            dattw.astype(attention_weights.dtype))
+
+
 def _bwd(spatial_shapes, q_tile, compute_dtype_name, res, g):
     value, loc, attw = res
-    _, vjp = jax.vjp(lambda v, l, a: _ms_deform_attn_xla(v, spatial_shapes, l, a),
-                     value, loc, attw)
-    return vjp(g)
+    if jax.default_backend() in ("cpu",) and not _INTERPRET:
+        # CPU (non-interpret) can't run the Pallas kernels
+        _, vjp = jax.vjp(lambda v, l, a: _ms_deform_attn_xla(v, spatial_shapes,
+                                                             l, a),
+                         value, loc, attw)
+        return vjp(g)
+    return _backward(value, spatial_shapes, loc, attw, g, q_tile,
+                     compute_dtype_name)
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)

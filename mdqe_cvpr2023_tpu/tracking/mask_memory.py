@@ -20,6 +20,16 @@ import jax.numpy as jnp
 from ..utils.misc import aligned_bilinear, interpolate_nearest
 
 
+@functools.partial(jax.jit, static_argnames=("m1", "mem_length", "h", "w"))
+def mem_init(m1: int, mem_length: int, h: int, w: int):
+    """Allocate the mask memory ON DEVICE. (A host-side jnp.zeros of the ~250 MB
+    logit_sum ships literal zeros through the host->device tunnel — measured
+    ~0.8 s per video on axon; a jitted init materializes device-side for free.)"""
+    return (jnp.zeros((m1, mem_length, h, w), jnp.float32),
+            jnp.zeros((m1, mem_length), jnp.float32),
+            jnp.zeros((m1,), jnp.float32))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
 def mem_update(logit_sum, valid_count, clip_count, masks, slots, f0):
     """logit_sum (M1, L, H, W), valid_count (M1, L), clip_count (M1,);
@@ -88,6 +98,27 @@ def mem_rollover(logit_sum, valid_count, clip_count, window_frames: int):
     return new_ls, new_vc, new_cc
 
 
+def _nearest_matmul(x, size):
+    """Nearest-neighbor resize of the trailing two dims via one-hot selection
+    matmuls (MXU) — XLA gather runs at ~5-10 GB/s on this TPU, ~100x below HBM.
+    Exact: each output element is a sum with exactly one nonzero term."""
+    h, w = x.shape[-2], x.shape[-1]
+    oh, ow = int(size[0]), int(size[1])
+    if (oh, ow) == (h, w):
+        return x
+    iy = jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32)
+    ix = jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32)
+    R = (jax.lax.broadcasted_iota(jnp.int32, (oh, h), 1) == iy[:, None]
+         ).astype(x.dtype)
+    C = (jax.lax.broadcasted_iota(jnp.int32, (w, ow), 0) == ix[None, :]
+         ).astype(x.dtype)
+    lead = x.shape[:-2]
+    xb = x.reshape(-1, h, w)
+    y = jnp.einsum("oh,bhw->bow", R, xb, preferred_element_type=x.dtype)
+    z = jnp.einsum("bow,wq->boq", y, C, preferred_element_type=x.dtype)
+    return z.reshape(*lead, oh, ow)
+
+
 def _packbits(x_bool):
     """(..., W) bool -> (..., ceil(W/8)) uint8, big-endian bit order."""
     W = x_bool.shape[-1]
@@ -99,10 +130,8 @@ def _packbits(x_bool):
     return (x * weights).sum(-1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("match_stride", "image_size",
-                                             "ori_size", "inst_chunk"))
-def mem_finalize_masks(avg_logits, match_stride: int, image_size, ori_size,
-                       inst_chunk: int = 8):
+def _finalize_from_avg(avg_logits, match_stride: int, image_size, ori_size,
+                       inst_chunk: int):
     """avg_logits (M1, F, h4, w4) -> bit-packed binary masks at original size
     (M1, F, oh, ceil(ow/8)) uint8. Upsample stride-4 logits (aligned bilinear),
     crop padding, threshold at logit 0, nearest-resize to ori (all commuting with
@@ -116,9 +145,43 @@ def mem_finalize_masks(avg_logits, match_stride: int, image_size, ori_size,
     def chunk(c):
         up = aligned_bilinear(c, match_stride)          # (chunk, F, 4h, 4w)
         up = up[:, :, :image_size[0], :image_size[1]]
-        binm = interpolate_nearest(up, ori_size) > 0    # (chunk, F, oh, ow)
+        binm = (up > 0).astype(jnp.bfloat16)            # 0/1 exact in bf16
+        binm = _nearest_matmul(binm, ori_size) > 0.5    # (chunk, F, oh, ow)
         return _packbits(binm)
 
     packed = jax.lax.map(chunk, x)
-    packed = packed.reshape(M1 + pad_m, F, ori_size[0], -1)[:M1]
-    return packed
+    return packed.reshape(M1 + pad_m, F, ori_size[0], -1)[:M1]
+
+
+@functools.partial(jax.jit, static_argnames=("match_stride", "image_size",
+                                             "ori_size", "inst_chunk"))
+def mem_finalize_masks(avg_logits, match_stride: int, image_size, ori_size,
+                       inst_chunk: int = 8):
+    return _finalize_from_avg(avg_logits, match_stride, image_size, ori_size,
+                              inst_chunk)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("window_frames", "match_stride",
+                                    "image_size", "ori_size", "rollover",
+                                    "inst_chunk"))
+def mem_window_output(logit_sum, valid_count, clip_count, window_frames: int,
+                      match_stride: int, image_size, ori_size, rollover: bool,
+                      inst_chunk: int = 8):
+    """One fused per-window device call (average + finalize + rollover): the
+    separate calls each re-touched the ~250 MB memory and stalled one clip's
+    sync at every window boundary. Donated, so the rolled memory reuses the
+    old buffers. Returns (packed_masks over the FULL mem length, new memory)."""
+    avg = mem_average(logit_sum, valid_count)
+    packed = _finalize_from_avg(avg, match_stride, image_size, ori_size,
+                                inst_chunk)
+    if rollover:
+        L = logit_sum.shape[1]
+        roll = L - window_frames
+        new_ls = jnp.zeros_like(logit_sum).at[:, :roll].set(
+            avg[:, window_frames:])
+        new_vc = jnp.zeros_like(valid_count).at[:, :roll].set(
+            (valid_count[:, window_frames:] > 0).astype(valid_count.dtype))
+        new_cc = (clip_count > 0).astype(clip_count.dtype)
+        return packed, new_ls, new_vc, new_cc
+    return packed, logit_sum, valid_count, clip_count

@@ -24,7 +24,8 @@ import numpy as np
 import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
 
-from .mask_memory import mem_average, mem_rollover, mem_siou, mem_update
+from .mask_memory import (mem_average, mem_init, mem_rollover, mem_siou,
+                          mem_update, mem_window_output)
 
 
 def ctt_similarity(saved_embeds: np.ndarray, input_embeds: np.ndarray) -> np.ndarray:
@@ -101,9 +102,8 @@ class OverTracker:
     def _init_device_memory(self):
         M1 = self.num_max_inst + 1  # extra dump row for unmatched detections
         H, W = self.mask_size
-        self.logit_sum = jnp.zeros((M1, self.mem_length, H, W), jnp.float32)
-        self.valid_count = jnp.zeros((M1, self.mem_length), jnp.float32)
-        self.clip_count_dev = jnp.zeros((M1,), jnp.float32)
+        self.logit_sum, self.valid_count, self.clip_count_dev = mem_init(
+            M1, self.mem_length, H, W)
 
     def _init_host_memory(self, is_first: bool):
         M = self.num_max_inst
@@ -251,13 +251,30 @@ class OverTracker:
         self.num_inst += len(new_assign)
 
     # ------------------------------------------------------------------
-    def get_result(self, is_last_clip=False):
-        """Returns (out_cls (N, Kcls) numpy, avg_mask_logits device (N?, len, H, W)
-        — full M1 rows, caller slices [:num_inst]) and rolls residual frames."""
+    def get_result(self, is_last_clip=False, finalize_args=None):
+        """Returns (out_cls (N, Kcls) numpy, masks device, len_frames) and rolls
+        residual frames. With finalize_args=(match_stride, image_size, ori_size)
+        the device work runs as ONE fused call (average + finalize + rollover,
+        donated) and `masks` are bit-packed binary masks at original size over
+        the full memory length — slice [:num_inst, :len_frames]. Without it,
+        `masks` are averaged logits (M1, L, H, W) (separate rollover call)."""
         n = self.num_inst
-        avg = mem_average(self.logit_sum, self.valid_count)  # (M1, L, H, W) device
         n_frames_valid = max(self.saved_idx_set) - self.start_frame + 1
         len_frames = self.window_frames if not is_last_clip else int(n_frames_valid)
+
+        if finalize_args is not None:
+            match_stride, image_size, ori_size = finalize_args
+            masks, self.logit_sum, self.valid_count, self.clip_count_dev = \
+                mem_window_output(self.logit_sum, self.valid_count,
+                                  self.clip_count_dev, self.window_frames,
+                                  match_stride, tuple(image_size),
+                                  tuple(ori_size), rollover=not is_last_clip)
+        else:
+            masks = mem_average(self.logit_sum, self.valid_count)
+            if not is_last_clip:
+                self.logit_sum, self.valid_count, self.clip_count_dev = \
+                    mem_rollover(self.logit_sum, self.valid_count,
+                                 self.clip_count_dev, self.window_frames)
 
         out_cls = self.cls_sum[:n] / np.clip(self.clip_count[:n], 1.0, None)[:, None]
 
@@ -268,9 +285,6 @@ class OverTracker:
                                                                     None)
 
         if not is_last_clip:
-            self.logit_sum, self.valid_count, self.clip_count_dev = mem_rollover(
-                self.logit_sum, self.valid_count, self.clip_count_dev,
-                self.window_frames)
             old_ring_v = self.ring_valid.copy()
             self._init_host_memory(is_first=False)
             self.clip_count[:n] = 1.0
@@ -279,4 +293,4 @@ class OverTracker:
             self.ring_valid[-1, :n] = old_ring_v.any(axis=0)[:n]
             self.embeds_mem[:n] = emb
 
-        return out_cls, avg, len_frames
+        return out_cls, masks, len_frames

@@ -63,6 +63,7 @@ def _tiny_cfg(tmp_path):
     return cfg
 
 
+@pytest.mark.slow
 def test_coco_eval_end_to_end(mini_coco, tmp_path, monkeypatch):
     from mdqe_cvpr2023_tpu.data import builtin
     monkeypatch.setitem(builtin.DATASET_SPLITS, "coco_mini_val",

@@ -1,0 +1,84 @@
+"""Pallas hat-matmul kernel parity through the interpreter (CPU-executable).
+
+The real-TPU path is exercised by bench/tools; here the identical kernel code
+runs via pallas interpret mode so forward AND custom-VJP math are validated in
+the default suite against the XLA gather formulation (which itself is tested
+against the torch grid_sample oracle in test_deform_attn.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mdqe_cvpr2023_tpu.ops import deform_attn_pallas as dap
+from mdqe_cvpr2023_tpu.ops.deform_attn import _ms_deform_attn_xla
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    old = dap._INTERPRET
+    dap._INTERPRET = True
+    yield
+    dap._INTERPRET = old
+
+
+def _inputs(B=1, H=2, D=32, Q=70, P=4, shapes=((10, 6), (3, 5)), seed=0):
+    rng = np.random.default_rng(seed)
+    N = sum(h * w for h, w in shapes)
+    L = len(shapes)
+    value = rng.standard_normal((B, N, H, D)).astype(np.float32)
+    loc = rng.uniform(-0.1, 1.1, (B, Q, H, L, P, 2)).astype(np.float32)
+    attw = rng.dirichlet(np.ones(L * P), (B, Q, H)).reshape(B, Q, H, L, P)
+    return (jnp.asarray(value), shapes, jnp.asarray(loc),
+            jnp.asarray(attw.astype(np.float32)))
+
+
+def test_forward_interpret_matches_xla():
+    value, shapes, loc, attw = _inputs()
+    out_k = dap.ms_deform_attn_pallas(value, shapes, loc, attw, 64, "float32")
+    out_x = _ms_deform_attn_xla(value, shapes, loc, attw)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_backward_interpret_matches_xla_vjp(seed):
+    """The Pallas custom VJP must match differentiating the gather formulation
+    for all three inputs (value, sampling locations, attention weights)."""
+    value, shapes, loc, attw = _inputs(seed=seed)
+    g = jnp.asarray(np.random.default_rng(seed + 7)
+                    .standard_normal(value.shape[:1] + loc.shape[1:2]
+                                     + (value.shape[2] * value.shape[3],))
+                    .astype(np.float32))
+
+    dv_k, dl_k, da_k = dap._backward(value, shapes, loc, attw, g, 64, "float32")
+    _, vjp = jax.vjp(lambda v, l, a: _ms_deform_attn_xla(v, shapes, l, a),
+                     value, loc, attw)
+    dv_x, dl_x, da_x = vjp(g)
+
+    np.testing.assert_allclose(np.asarray(dv_k), np.asarray(dv_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(da_k), np.asarray(da_x),
+                               rtol=1e-4, atol=1e-4)
+    # location grads: ignore samples parked exactly on integer grid lines where
+    # the subgradient convention may differ (measure-zero for real inputs)
+    np.testing.assert_allclose(np.asarray(dl_k), np.asarray(dl_x),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_backward_through_custom_vjp_api():
+    """jax.grad through ms_deform_attn_pallas uses the Pallas backward when
+    interpret mode is on (exercises the defvjp wiring end-to-end)."""
+    value, shapes, loc, attw = _inputs(Q=64)
+
+    def loss_k(v, l, a):
+        return (dap.ms_deform_attn_pallas(v, shapes, l, a, 64, "float32") ** 2).sum()
+
+    def loss_x(v, l, a):
+        return (_ms_deform_attn_xla(v, shapes, l, a) ** 2).sum()
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(value, loc, attw)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(value, loc, attw)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -17,6 +17,7 @@ INF = InferenceCfg(clip_stride=2, n_frames_test=2, n_frames_window_test=4,
                    encode_chunk=2, num_classes=5)
 
 
+@pytest.mark.slow
 def test_inference_vis_end_to_end():
     params = detr_init(jax.random.PRNGKey(0), TINY)
     rng = np.random.default_rng(0)

@@ -19,6 +19,7 @@ def tiny_model():
     return params
 
 
+@pytest.mark.slow
 def test_train_forward_shapes(tiny_model):
     B, T = 1, TINY.n_frames
     Hp = Wp = 64
@@ -40,6 +41,7 @@ def test_train_forward_shapes(tiny_model):
     assert np.all(b[..., 2:] - b[..., :2] >= 0)
 
 
+@pytest.mark.slow
 def test_inference_clip_path(tiny_model):
     T = 4  # test clip longer than train n_frames
     Hp = Wp = 64

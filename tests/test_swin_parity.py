@@ -16,6 +16,7 @@ from mdqe_cvpr2023_tpu.engine.checkpoint import convert_torch_state_dict
 from mdqe_cvpr2023_tpu.models.swin import SwinCfg, swin_apply
 
 
+@pytest.mark.slow
 def test_swin_tiny_geometry_parity():
     SwinV2 = load_reference_swin()
     torch.manual_seed(0)

@@ -43,6 +43,7 @@ def make_batch(B, T, Hp=64, Wp=64, N=3, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_decreases_loss():
     params = detr_init(jax.random.PRNGKey(0), TINY)
     tc = TrainCfg(base_lr=1e-3, steps=(1000,), max_iter=100, clip_norm=1.0)
@@ -63,6 +64,7 @@ def test_train_step_runs_and_decreases_loss():
     assert losses[-1] < losses[0]  # overfitting a fixed batch reduces loss
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_mesh():
     mesh = make_mesh()
     assert len(mesh.devices.reshape(-1)) == 8

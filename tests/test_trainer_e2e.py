@@ -54,6 +54,7 @@ def mini_dataset(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(mini_dataset, tmp_path, monkeypatch):
     from mdqe_cvpr2023_tpu.data import builtin
     monkeypatch.setitem(builtin.DATASET_SPLITS, "ytvis_ovis_train",
