@@ -21,9 +21,11 @@ def main():
     cfg = MDQEModelCfg(backbone="resnet50", num_classes=25, hidden_dim=256,
                       n_heads=8, enc_layers=6, dec_layers=6, n_frames=4,
                       n_query=196, query_embed_dim=64, dec_temporal=True)
+    # clip_topk = 10*detections_per_image: reference per-clip candidate capacity
+    # (mdqe/mdqe.py:380) — the bench runs the same configuration as real eval
     inf = InferenceCfg(clip_stride=1, n_frames_test=4, n_frames_window_test=30,
                        max_num_instances=120, apply_cls_thres=0.1,
-                       detections_per_image=15, clip_topk=32, encode_chunk=10,
+                       detections_per_image=15, clip_topk=150, encode_chunk=10,
                        num_classes=25)
 
     params = detr_init(jax.random.PRNGKey(0), cfg)

@@ -13,13 +13,21 @@ from .config import CfgNode
 
 def build_model_cfg(cfg: CfgNode) -> MDQEModelCfg:
     name = cfg.MODEL.BACKBONE.NAME
+    swin = None
     if "swin" in name.lower():
-        backbone = "swin_large"
+        from ..models.swin import SwinCfg
+        sw = cfg.MODEL.SWIN
+        backbone = f"swin_{sw.TYPE}"
+        swin = SwinCfg(embed_dim=sw.EMBED_DIM, depths=tuple(sw.DEPTHS),
+                       num_heads=tuple(sw.NUM_HEADS),
+                       window_size=sw.WINDOW_SIZE,
+                       patch_size=sw.get("PATCH_SIZE", 4))
     else:
         backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
     m = cfg.MODEL.MDQE
     return MDQEModelCfg(
         backbone=backbone,
+        swin=swin,
         num_classes=m.NUM_CLASSES,
         hidden_dim=m.HIDDEN_DIM,
         n_heads=m.NHEADS,

@@ -28,7 +28,8 @@ from .mask_head import mask_head_apply
 
 @dataclass(frozen=True)
 class MDQEModelCfg:
-    backbone: str = "resnet50"
+    backbone: str = "resnet50"  # resnet50/resnet101 or swin_{tiny,small,base,large}
+    swin: "object" = None       # optional SwinCfg override (presets otherwise)
     num_classes: int = 80
     hidden_dim: int = 256
     n_heads: int = 8
@@ -49,9 +50,17 @@ class MDQEModelCfg:
     def backbone_channels(self) -> Tuple[int, ...]:
         if self.backbone.startswith("resnet"):
             return (512, 1024, 2048)  # res3, res4, res5
-        if self.backbone == "swin_large":
-            return (384, 768, 1536)   # stages 1..3 at strides 8/16/32
+        if self.backbone.startswith("swin"):
+            e = self.swin_cfg.embed_dim
+            return (2 * e, 4 * e, 8 * e)  # stages 1..3 at strides 8/16/32
         raise ValueError(self.backbone)
+
+    @property
+    def swin_cfg(self):
+        from .swin import SWIN_PRESETS
+        if self.swin is not None:
+            return self.swin
+        return SWIN_PRESETS[self.backbone[len("swin_"):]]
 
     @property
     def feature_strides(self) -> Tuple[int, ...]:
@@ -76,9 +85,9 @@ def detr_init(key, cfg: MDQEModelCfg):
     if cfg.backbone.startswith("resnet"):
         depth = int(cfg.backbone[len("resnet"):])
         backbone = resnet_init(kb, depth)
-    elif cfg.backbone == "swin_large":
-        from .swin import swin_large_init
-        backbone = swin_large_init(kb)
+    elif cfg.backbone.startswith("swin"):
+        from .swin import swin_init
+        backbone = swin_init(kb, cfg.swin_cfg)
     else:
         raise ValueError(cfg.backbone)
 
@@ -127,7 +136,7 @@ def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes):
         feat_list = [feats["res3"], feats["res4"], feats["res5"]]
     else:
         from .swin import swin_apply
-        feat_list = swin_apply(params["backbone"], images)
+        feat_list = swin_apply(params["backbone"], images, cfg.swin_cfg)
 
     strides = list(cfg.feature_strides)
     extra_levels = cfg.n_feature_levels - len(feat_list)

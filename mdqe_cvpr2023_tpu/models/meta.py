@@ -316,23 +316,49 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if start_idx + T_clip >= video_len:
             break
 
-    windows = {}
+    window_spans = sorted({(ws, we) for _, _, ws, we in schedule})
+    windows, uploads = {}, {}
+    chunk = max(int(inf_cfg.encode_chunk), 1)
+
+    def enqueue_upload(ws, we):
+        """Start the (async) host->device transfer of a window's frames in
+        chunk-sized pieces. Issued one window ahead, so the ~0.3 s transfer of
+        a 30-frame window overlaps earlier clips' processing; chunking also
+        pipelines the first window's upload with its own encode and lets tail
+        windows pad to a chunk multiple instead of the full window size."""
+        if ws in uploads or ws in windows:
+            return
+        wf = frames[ws:we]
+        sz = sizes_all[ws:we]
+        wlen = -(-wf.shape[0] // chunk) * chunk
+        if wf.shape[0] < wlen:
+            pad = wlen - wf.shape[0]
+            wf = np.concatenate([wf] + [wf[-1:]] * pad)
+            sz = np.concatenate([sz] + [sz[-1:]] * pad)
+        uploads[ws] = [
+            (_timed("frame_upload", jnp.asarray, wf[c0:c0 + chunk]),
+             jnp.asarray(sz[c0:c0 + chunk]))
+            for c0 in range(0, wlen, chunk)]
 
     def get_window(ws, we):
         if ws not in windows:
-            wf = frames[ws:we]
-            sz = sizes_all[ws:we]
-            if wf.shape[0] < W_win:  # pad the tail window to the fixed size
-                pad = W_win - wf.shape[0]
-                wf = np.concatenate([wf] + [wf[-1:]] * pad)
-                sz = np.concatenate([sz] + [sz[-1:]] * pad)
-            wf_dev = _timed("frame_upload", jnp.asarray, wf)
-            windows[ws] = _timed("encode_dispatch", encode_window, params,
-                                 model_cfg, wf_dev, jnp.asarray(sz),
-                                 mean_dev, std_dev, shapes)
+            enqueue_upload(ws, we)
+            parts = [_timed("encode_dispatch", encode_window, params, model_cfg,
+                            f, s, mean_dev, std_dev, shapes)
+                     for f, s in uploads.pop(ws)]
+            if len(parts) == 1:
+                windows[ws] = parts[0]
+            else:
+                windows[ws] = tuple(
+                    jnp.concatenate([p[j] for p in parts], axis=0)
+                    for j in range(3))
             for k in list(windows):  # keep only current + next window alive
                 if k not in (ws, wstart):
                     del windows[k]
+            for s2, e2 in window_spans:  # prefetch the next window's frames
+                if s2 > ws:
+                    enqueue_upload(s2, e2)
+                    break
         return windows[ws]
 
     def dispatch_clip(i):
@@ -386,8 +412,12 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                 finalize_args=(inf_cfg.match_stride, image_size, ori_size))
             n = out_cls.shape[0]
             if n > 0:
-                packed_np = _timed("finalize_sync", np.asarray,
-                                   packed_dev[:n, :len_frames])  # (n,len,oh,ow/8)
+                sl = packed_dev[:n, :len_frames]  # (n, len, oh, ow/8) device
+                try:  # start the d2h copy now; materialized at video end, so the
+                    sl.copy_to_host_async()  # transfer hides behind later clips
+                except Exception:
+                    pass
+                packed_np = sl
             else:
                 packed_np = np.zeros((0, len_frames, ori_size[0],
                                       -(-ori_size[1] // 8)), np.uint8)
@@ -402,6 +432,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if is_last_clip:
             break
 
+    pred_masks_clips = [_timed("finalize_sync", np.asarray, m)
+                        for m in pred_masks_clips]
     out = _timed("merge_video", inference_video, inf_cfg, ori_size,
                  pred_cls_clips, pred_masks_clips)
     if real_len < video_len:  # drop the short-video padding frames

@@ -210,7 +210,21 @@ def _win_attn_init(key, dim, heads, win):
     }
 
 
-def swin_large_init(key, cfg: SwinCfg = SwinCfg()):
+# reference presets (mdqe/backbone/config.py:6-76); 'large' keeps the window
+# size the released swinl configs actually use (configs/swinl_*.yaml WINDOW_SIZE 12)
+SWIN_PRESETS = {
+    "tiny": SwinCfg(embed_dim=96, depths=(2, 2, 6, 2),
+                    num_heads=(3, 6, 12, 24), window_size=8),
+    "small": SwinCfg(embed_dim=96, depths=(2, 2, 18, 2),
+                     num_heads=(3, 6, 12, 24), window_size=16),
+    "base": SwinCfg(embed_dim=128, depths=(2, 2, 18, 2),
+                    num_heads=(4, 8, 16, 32), window_size=16),
+    "large": SwinCfg(embed_dim=192, depths=(2, 2, 18, 2),
+                     num_heads=(6, 12, 24, 48), window_size=12),
+}
+
+
+def swin_init(key, cfg: SwinCfg = SwinCfg()):
     keys = jax.random.split(key, 64)
     ki = iter(keys)
     params = {
@@ -245,3 +259,6 @@ def swin_large_init(key, cfg: SwinCfg = SwinCfg()):
         if i in cfg.out_stages:
             params[f"norm{i}"] = fnn.norm_init(cfg.stage_dim(i))
     return params
+
+
+swin_large_init = swin_init
