@@ -21,7 +21,7 @@ def test_tiny_preset_forward():
                        n_heads=4, enc_layers=1, dec_layers=1, n_frames=1,
                        n_query=16, query_embed_dim=8)
     params = detr_init(jax.random.PRNGKey(0), cfg)
-    out = detr_apply_backbone(params, cfg, jnp.zeros((1, 64, 64, 3)),
+    out = detr_apply_backbone(params, cfg, jnp.zeros((1, 64, 64, 3), jnp.float32),
                               jnp.asarray([[64, 64]], jnp.int32), n_frames=1,
                               training=False)
     assert out["cls"].shape == (1, 16, 3)
