@@ -14,6 +14,7 @@ import numpy as np
 
 def main():
     import jax
+    from mdqe_cvpr2023_tpu.utils.compile_cache import enable as enable_cache
     from mdqe_cvpr2023_tpu.models import MDQEModelCfg, detr_init
     from mdqe_cvpr2023_tpu.models.meta import (InferenceCfg, inference_vis,
                                                preprocess_frames)
@@ -28,7 +29,18 @@ def main():
                        detections_per_image=15, clip_topk=150, encode_chunk=10,
                        num_classes=25)
 
-    params = detr_init(jax.random.PRNGKey(0), cfg)
+    # init as ONE jitted program on the host CPU backend: eager init on the TPU
+    # pays ~0.5 s of remote-compile latency per tiny random op (~50 s total);
+    # a single CPU compile + one transfer is seconds
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.jit(detr_init, static_argnums=(1,))(jax.random.PRNGKey(0),
+                                                         cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
+    # enable the persistent cache only now: the jitted CPU init must not be
+    # cached (XLA:CPU AOT results are machine-feature-specific and can SIGILL
+    # on a different host); everything from here on compiles for the TPU
+    enable_cache()
     rng = np.random.default_rng(0)
 
     # OVIS 360p eval geometry: shorter side 360, max side 640 -> 360x640, pad /32

@@ -324,19 +324,38 @@ def decoder_loop(params, cfg: DecoderCfg, x, x_ref_points, src, spatial_shapes,
     x_inst_ref_boxes = _clip_ref_boxes(cfg, x_ref_boxes, T)
     x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2])
 
-    inter_x, inter_inst, inter_boxes = [x], [x_inst], [x_boxes]
-    for li, lp in enumerate(params["decoder"]["layers"]):
-        lrng = jax.random.fold_in(rng, li) if rng is not None else None
-        x, x_inst = _decoder_layer(lp, cfg, x, x_pos, x_ref_boxes, x_inst, x_inst_pos,
-                                   x_inst_ref_boxes, src, spatial_shapes, padding_mask,
-                                   T, drop_rate, lrng)
+    # scan over the identical layers: one compiled (layer + refine) body instead of
+    # n_layers unrolled copies — the decoder graph (box+instance level deform attn
+    # per layer) dominated clip-decode compile time when unrolled
+    layers = params["decoder"]["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    n_layers = len(layers)
+    if rng is not None:
+        keys = jnp.stack([jax.random.fold_in(rng, i) for i in range(n_layers)])
+        xs_in = (stacked, keys)
+    else:
+        xs_in = (stacked,)
+
+    def body(carry, xs):
+        x, x_inst, x_ref_boxes, x_pos, x_inst_ref_boxes, x_inst_pos = carry
+        lp = xs[0]
+        lrng = xs[1] if len(xs) > 1 else None
+        x, x_inst = _decoder_layer(lp, cfg, x, x_pos, x_ref_boxes, x_inst,
+                                   x_inst_pos, x_inst_ref_boxes, src,
+                                   spatial_shapes, padding_mask, T, drop_rate,
+                                   lrng)
         x_boxes, x_ref_boxes, x_pos = refine(x, x_ref_boxes)
         x_inst_ref_boxes = _clip_ref_boxes(cfg, x_ref_boxes, T)
         x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2])
-        inter_x.append(x)
-        inter_inst.append(x_inst)
-        inter_boxes.append(x_boxes)
-    return jnp.stack(inter_x), jnp.stack(inter_inst), jnp.stack(inter_boxes)
+        carry = (x, x_inst, x_ref_boxes, x_pos, x_inst_ref_boxes, x_inst_pos)
+        return carry, (x, x_inst, x_boxes)
+
+    carry0 = (x, x_inst, x_ref_boxes, x_pos, x_inst_ref_boxes, x_inst_pos)
+    _, (ys_x, ys_inst, ys_boxes) = jax.lax.scan(body, carry0, xs_in)
+    inter_x = jnp.concatenate([x[None], ys_x])
+    inter_inst = jnp.concatenate([x_inst[None], ys_inst])
+    inter_boxes = jnp.concatenate([x_boxes[None], ys_boxes])
+    return inter_x, inter_inst, inter_boxes
 
 
 # ---------------------------------------------------------------------------

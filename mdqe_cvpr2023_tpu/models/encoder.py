@@ -97,9 +97,26 @@ def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos, drop_rate=0.0,
     ref_boxes = jnp.concatenate([ref_pts, jnp.full_like(ref_pts, 0.1)], axis=-1)   # (N,4)
     ref_boxes = jnp.broadcast_to(ref_boxes[None], (B,) + ref_boxes.shape)
 
-    x = src
-    for i, lp in enumerate(params["encoder"]["layers"]):
-        lrng = jax.random.fold_in(rng, i) if rng is not None else None
-        x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes, mask,
-                           drop_rate, lrng)
+    # scan over the identical layers: one compiled layer body instead of n_layers
+    # unrolled copies (cuts XLA compile time ~n_layers-fold on this, the deepest
+    # part of the window-encode graph)
+    layers = params["encoder"]["layers"]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    if rng is not None:
+        keys = jnp.stack([jax.random.fold_in(rng, i) for i in range(len(layers))])
+
+        def body(x, xs):
+            lp, lrng = xs
+            x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes,
+                               mask, drop_rate, lrng)
+            return x, None
+
+        x, _ = jax.lax.scan(body, src, (stacked, keys))
+    else:
+        def body(x, lp):
+            x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes,
+                               mask, 0.0, None)
+            return x, None
+
+        x, _ = jax.lax.scan(body, src, stacked)
     return fnn.layer_norm(params["encoder"]["norm"], x)

@@ -164,20 +164,31 @@ def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_f
                             mask_feats, apply_cls_thres, topk)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("model_cfg", "spatial_shapes", "n_frames",
-                                    "apply_cls_thres", "topk"))
+@functools.partial(jax.jit, static_argnames=("n_frames",))
+def _slice_clip(window_encoded, window_mask_flat, window_mask_feats_arr, clip_off,
+                n_frames: int):
+    """Tiny per-window-length jit: slice a fixed-shape clip out of the window
+    arrays on device. Kept separate from the decode jit so the expensive decoder
+    graph compiles ONCE per clip shape rather than once per window length (the
+    tail window is shorter, and a fused slice+decode jit recompiled the whole
+    decoder for it — several extra minutes of XLA time)."""
+    enc = jax.lax.dynamic_slice_in_dim(window_encoded, clip_off, n_frames, 0)
+    mfl = jax.lax.dynamic_slice_in_dim(window_mask_flat, clip_off, n_frames, 0)
+    mfe = jax.lax.dynamic_slice_in_dim(window_mask_feats_arr, clip_off, n_frames, 0)
+    return enc, mfl, mfe
+
+
 def decode_clip_windowed(params, model_cfg: MDQEModelCfg, window_encoded,
                          window_mask_flat, spatial_shapes, window_mask_feats_arr,
                          clip_off, n_frames: int, apply_cls_thres: float,
                          topk: int):
-    """Decoder + post-processing, slicing the clip out of the window arrays on
+    """Decoder + post-processing on a clip sliced out of the window arrays on
     device. Independent of tracker state, so clip k+1 can be dispatched before the
-    host finishes clip k (the device pipeline hides host latency)."""
-    encoded = jax.lax.dynamic_slice_in_dim(window_encoded, clip_off, n_frames, 0)
-    mask_flat = jax.lax.dynamic_slice_in_dim(window_mask_flat, clip_off, n_frames, 0)
-    mask_feats = jax.lax.dynamic_slice_in_dim(window_mask_feats_arr, clip_off,
-                                              n_frames, 0)
+    host finishes clip k (the device pipeline hides host latency). Two async
+    dispatches (slice, then fixed-shape decode) — both are enqueued without a
+    host sync, so pipelining is preserved."""
+    encoded, mask_flat, mask_feats = _slice_clip(
+        window_encoded, window_mask_flat, window_mask_feats_arr, clip_off, n_frames)
     return decode_and_postprocess_clip(params, model_cfg, encoded, mask_flat,
                                        spatial_shapes, mask_feats, n_frames,
                                        apply_cls_thres, topk)

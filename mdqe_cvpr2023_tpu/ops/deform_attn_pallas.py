@@ -151,41 +151,46 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 
-def _make_fused_kernel(shapes_eff, D, P, H, compute_dtype, interpret):
+def _make_fused_kernel(shapes_eff, D, P, compute_dtype, interpret):
+    """Kernel body for one (batch, head, q-tile) grid cell: fold all L levels'
+    partial sums in VMEM. Heads live in the GRID, not the body — a Python head
+    loop made the Mosaic program L*H bodies long and its compile time superlinear
+    (~170 s per kernel instantiation); with 1 head per cell the same math
+    compiles in seconds and the runtime cost is one extra (cheap) XLA transpose
+    of the (B, H, Qp, D) output."""
     L = len(shapes_eff)
 
     def kernel(g_ref, *refs):
         v_refs = refs[:L]
         out_ref = refs[L]
         Qt = g_ref.shape[3]
-        for head in range(H):
-            acc = None
-            for l, (h_l, w_l) in enumerate(shapes_eff):
-                g = g_ref[0, head, l * 3 * P:(l + 1) * 3 * P]
-                gy = g[:P]
-                gx = g[P:2 * P]
-                aw = g[2 * P:3 * P]
-                iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h_l), 2
-                                              ).astype(jnp.float32)
-                hat_y = (jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy[..., None]))
-                         * aw[..., None]).reshape(P * Qt, h_l)
-                ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w_l), 2
-                                              ).astype(jnp.float32)
-                hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None])
-                                    ).reshape(P * Qt, w_l)
-                s = jnp.dot(hat_y.astype(compute_dtype),
-                            v_refs[l][0, head].astype(compute_dtype),
-                            preferred_element_type=jnp.float32)   # (PQt, D*w)
-                t = s.astype(compute_dtype) * _repeat_cols(
-                    hat_x.astype(compute_dtype), D, interpret)
-                comb = (jax.lax.broadcasted_iota(jnp.int32, (D * w_l, D), 0)
-                        // w_l
-                        == jax.lax.broadcasted_iota(jnp.int32, (D * w_l, D), 1)
-                        ).astype(compute_dtype)
-                outp = jnp.dot(t, comb, preferred_element_type=jnp.float32)
-                part = outp.reshape(P, Qt, D).sum(axis=0)
-                acc = part if acc is None else acc + part
-            out_ref[0, :, head * D:(head + 1) * D] = acc
+        acc = None
+        for l, (h_l, w_l) in enumerate(shapes_eff):
+            g = g_ref[0, 0, l * 3 * P:(l + 1) * 3 * P]
+            gy = g[:P]
+            gx = g[P:2 * P]
+            aw = g[2 * P:3 * P]
+            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h_l), 2
+                                          ).astype(jnp.float32)
+            hat_y = (jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy[..., None]))
+                     * aw[..., None]).reshape(P * Qt, h_l)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w_l), 2
+                                          ).astype(jnp.float32)
+            hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None])
+                                ).reshape(P * Qt, w_l)
+            s = jnp.dot(hat_y.astype(compute_dtype),
+                        v_refs[l][0, 0].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)   # (PQt, D*w)
+            t = s.astype(compute_dtype) * _repeat_cols(
+                hat_x.astype(compute_dtype), D, interpret)
+            comb = (jax.lax.broadcasted_iota(jnp.int32, (D * w_l, D), 0)
+                    // w_l
+                    == jax.lax.broadcasted_iota(jnp.int32, (D * w_l, D), 1)
+                    ).astype(compute_dtype)
+            outp = jnp.dot(t, comb, preferred_element_type=jnp.float32)
+            part = outp.reshape(P, Qt, D).sum(axis=0)
+            acc = part if acc is None else acc + part
+        out_ref[0, 0] = acc
 
     return kernel
 
@@ -203,27 +208,29 @@ def _deform_attn_fused(g, *vs, shapes_eff, P, H, q_tile, compute_dtype_name,
     L = len(shapes_eff)
 
     flops = sum(2 * B * H * Qp * P * (c + D) * f * D for c, f in shapes_eff)
-    in_specs = [pl.BlockSpec((1, H, 3 * P * L, q_tile), lambda b, q: (b, 0, 0, q),
+    in_specs = [pl.BlockSpec((1, 1, 3 * P * L, q_tile),
+                             lambda b, hd, q: (b, hd, 0, q),
                              memory_space=pltpu.VMEM)]
     for c_l, f_l in shapes_eff:
-        in_specs.append(pl.BlockSpec((1, H, c_l, D * f_l),
-                                     lambda b, q: (b, 0, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 1, c_l, D * f_l),
+                                     lambda b, hd, q: (b, hd, 0, 0),
                                      memory_space=pltpu.VMEM))
-    return pl.pallas_call(
-        _make_fused_kernel(shapes_eff, D, P, H, compute_dtype, interpret),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, H * D), jnp.float32),
-        grid=(B, Qp // q_tile),
+    out = pl.pallas_call(
+        _make_fused_kernel(shapes_eff, D, P, compute_dtype, interpret),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
+        grid=(B, H, Qp // q_tile),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, q_tile, H * D), lambda b, q: (b, q, 0),
+        out_specs=pl.BlockSpec((1, 1, q_tile, D), lambda b, hd, q: (b, hd, q, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=100 * 2 ** 20),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=sum(v.size * 2 for v in vs),
             transcendentals=0),
         interpret=interpret,
     )(g, *vs)
+    return out.transpose(0, 2, 1, 3).reshape(B, Qp, H * D)
 
 
 def _forward_fused(value, spatial_shapes, sampling_locations, attention_weights,
