@@ -30,11 +30,33 @@ def main():
                        num_classes=25)
 
     # init as ONE jitted program on the host CPU backend: eager init on the TPU
-    # pays ~0.5 s of remote-compile latency per tiny random op (~50 s total);
-    # a single CPU compile + one transfer is seconds
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = jax.jit(detr_init, static_argnums=(1,))(jax.random.PRNGKey(0),
-                                                         cfg)
+    # pays ~0.5 s of remote-compile latency per tiny random op (~50 s total).
+    # The realized params are cached on disk — the CPU init compile itself is
+    # ~30 s and pure data is safe to reuse across runs.
+    import os
+    cache_file = os.path.expanduser("~/.cache/jax_mdqe_bench_params.npz")
+    params = None
+    if os.path.exists(cache_file):
+        try:
+            with np.load(cache_file) as z:
+                flat = [z[str(i)] for i in range(len(z.files))]
+            import jax.tree_util as jtu
+            treedef = jtu.tree_structure(
+                jax.eval_shape(detr_init, jax.random.PRNGKey(0), cfg))
+            params = jtu.tree_unflatten(treedef, flat)
+        except Exception:
+            params = None
+    if params is None:
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = jax.jit(detr_init, static_argnums=(1,))(
+                jax.random.PRNGKey(0), cfg)
+        flat, _ = jax.tree_util.tree_flatten(params)
+        try:
+            os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+            np.savez(cache_file, **{str(i): np.asarray(x)
+                                    for i, x in enumerate(flat)})
+        except Exception:
+            pass
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
     # enable the persistent cache only now: the jitted CPU init must not be

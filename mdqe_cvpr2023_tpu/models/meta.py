@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.misc import aligned_bilinear, interpolate_bilinear, interpolate_nearest
-from ..tracking import ClipResults, OverTracker
 from .decoder import decoder_apply
 from .detr import MDQEModelCfg, detr_encode, detr_mask_feats
 
@@ -194,51 +193,37 @@ def decode_clip_windowed(params, model_cfg: MDQEModelCfg, window_encoded,
                                        apply_cls_thres, topk)
 
 
-@jax.jit
-def siou_and_pack(res, logit_sum, valid_count, clip_count, f0, overlap):
-    """Tracker sIoU against the clip's detections + pack every host-needed scalar
-    into a single f32 vector (one ~26 ms host round trip per clip)."""
-    from ..tracking.mask_memory import mem_siou
-
-    siou = mem_siou(logit_sum, valid_count, clip_count, res["masks"], f0, overlap)
-    packed = jnp.concatenate([
-        res["scores"].astype(jnp.float32).ravel(),
-        res["classes"].astype(jnp.float32).ravel(),
-        res["valid"].astype(jnp.float32).ravel(),
-        res["cls_probs"].astype(jnp.float32).ravel(),
-        res["query_embeds"].astype(jnp.float32).ravel(),
-        siou.astype(jnp.float32).ravel(),
-    ])
-    return packed
+def _tracker_step_jit():
+    from ..tracking.device_tracker import tracker_step
+    return jax.jit(tracker_step, static_argnums=(1,), donate_argnums=(0,))
 
 
-def decode_clip_fused(params, model_cfg, window_encoded, window_mask_flat,
-                      spatial_shapes, window_mask_feats_arr, clip_off, logit_sum,
-                      valid_count, clip_count, f0, overlap, n_frames: int,
-                      apply_cls_thres: float, topk: int):
-    res = decode_clip_windowed(params, model_cfg, window_encoded, window_mask_flat,
-                               spatial_shapes, window_mask_feats_arr, clip_off,
-                               n_frames, apply_cls_thres, topk)
-    packed = siou_and_pack(res, logit_sum, valid_count, clip_count, f0, overlap)
-    return packed, res["masks"]
+_TRACKER_STEP = None
 
 
-def unpack_clip_meta(packed: np.ndarray, topk: int, n_cls: int, emb_dim: int,
-                     m1: int):
-    """Inverse of decode_clip_fused's packing."""
-    o = 0
-    def take(n, shape):
-        nonlocal o
-        out = packed[o:o + n].reshape(shape)
-        o += n
-        return out
-    scores = take(topk, (topk,))
-    classes = take(topk, (topk,)).astype(np.int64)
-    valid = take(topk, (topk,)) > 0.5
-    cls_probs = take(topk * n_cls, (topk, n_cls))
-    embeds = take(topk * emb_dim, (topk, emb_dim))
-    siou = take(m1 * topk, (m1, topk))
-    return scores, classes, valid, cls_probs, embeds, siou
+def _clip_step(params, model_cfg: MDQEModelCfg, encoded, mask_flat, mask_feats,
+               state, f0, overlap, spatial_shapes, n_frames: int,
+               tr_cfg, apply_cls_thres: float, topk: int):
+    """Per-clip device work: decoder -> fixed-slab post-processing -> on-device
+    tracker association + memory update (tracker state donated). No host round
+    trip anywhere in the per-clip loop — the host only enqueues and syncs once
+    per window. (The host-tracker version paid a ~30-60 ms tunnel round trip per
+    clip for the sIoU/slots exchange, 3-4x the clip's actual compute.)
+
+    Deliberately TWO dispatches (decode jit + tracker jit), NOT one fused jit:
+    merging the decoder graph with the tracker's Hungarian while_loops into a
+    single XLA program makes it ~10x slower on this TPU (measured 387 ms vs
+    34 ms — the scheduler handles the loop-heavy tail far worse inside the big
+    program). Both dispatches are async, so the split costs no latency."""
+    global _TRACKER_STEP
+    if _TRACKER_STEP is None:
+        _TRACKER_STEP = _tracker_step_jit()
+    res = decode_and_postprocess_clip(params, model_cfg, encoded, mask_flat,
+                                      spatial_shapes, mask_feats, n_frames,
+                                      apply_cls_thres, topk)
+    return _TRACKER_STEP(state, tr_cfg, res["scores"], res["cls_probs"],
+                         res["masks"], res["query_embeds"], res["valid"],
+                         f0, overlap)
 
 
 def spatial_shapes_for(model_cfg: MDQEModelCfg, padded_hw) -> Tuple[Tuple[int, int], ...]:
@@ -302,12 +287,21 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     mean_dev = jnp.asarray(pixel_mean, jnp.float32)
     std_dev = jnp.asarray(pixel_std, jnp.float32)
 
+    from ..tracking.device_tracker import (TrackerCfg, tracker_state_init,
+                                           tracker_window_output)
+
     mask_hw = (2 * shapes[0][0], 2 * shapes[0][1])  # mask-head output is stride 4
-    tracker = OverTracker(inf_cfg.max_num_instances, T_clip, W_win, stride,
-                          inf_cfg.num_classes, model_cfg.hidden_dim, mask_hw,
-                          inf_cfg.apply_cls_thres)
+    tr_cfg = TrackerCfg(num_max_inst=inf_cfg.max_num_instances,
+                        num_frames=T_clip, window_frames=W_win,
+                        clip_stride=stride, num_classes=inf_cfg.num_classes,
+                        embed_dim=model_cfg.hidden_dim, mask_hw=mask_hw,
+                        apply_cls_thres=inf_cfg.apply_cls_thres)
+    state = tracker_state_init(tr_cfg)
+    # host shadow of the frame bookkeeping (reference clip_offsets semantics)
+    start_frame = 0
+    saved_idx: set = set()
     saved_clips = 0
-    pred_cls_clips, pred_masks_clips = [], []
+    window_outputs = []  # deferred (out_cls_dev, num_inst_dev, packed_dev, len)
     sizes_all = np.tile(np.asarray([list(image_size)], np.int32), (video_len, 1))
 
     # ---- precompute the clip/window schedule (reference loop :308-332), so clip
@@ -372,13 +366,6 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                     break
         return windows[ws]
 
-    def dispatch_clip(i):
-        _, start_eff, ws, we = schedule[i]
-        enc, mflat, maskf = get_window(ws, we)
-        return _timed("decode_dispatch", decode_clip_windowed, params, model_cfg,
-                      enc, mflat, shapes, maskf, start_eff - ws, T_clip,
-                      inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
-
     # cached device constants (uploads cost ~ms each through the tunnel)
     _f0_cache, _ov_cache = {}, {}
 
@@ -388,53 +375,48 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         return cache[val]
 
     import time as _time
-    res = dispatch_clip(0)
     for i, (start_idx, start_eff, wstart, wend) in enumerate(schedule):
         _it0 = _time.perf_counter()
         is_last_clip = i == len(schedule) - 1
         frame_idx = list(range(start_eff, start_eff + T_clip))
-        f0, overlap = tracker.clip_offsets(frame_idx)
+        f0 = max(frame_idx[0] - start_frame, 0)
+        overlap = np.array([f in saved_idx and f >= start_frame
+                            for f in frame_idx], bool)
         f0_dev = dev_const(_f0_cache, f0, np.int32(f0))
         ov_dev = dev_const(_ov_cache, tuple(overlap), overlap)
-        packed = _timed("siou_dispatch", siou_and_pack, res, tracker.logit_sum,
-                        tracker.valid_count, tracker.clip_count_dev, f0_dev,
-                        ov_dev)
-        clip_masks = res["masks"]
-        if not is_last_clip:
-            res = dispatch_clip(i + 1)  # queue next decode before syncing this one
-        packed_host = _timed("clip_sync", np.asarray, packed)
-        scores, classes, valid, cls_probs, embeds, siou = unpack_clip_meta(
-            packed_host, inf_cfg.clip_topk, inf_cfg.num_classes,
-            model_cfg.hidden_dim, inf_cfg.max_num_instances + 1)
-        clip_res = ClipResults(
-            frame_idx=frame_idx,
-            scores=scores, classes=classes, cls_probs=cls_probs,
-            mask_logits=clip_masks, query_embeds=embeds, valid=valid,
-        )
-        _timed("tracker_update", tracker.update, clip_res, siou_full=siou)
+
+        enc, mflat, maskf = get_window(wstart, wend)
+        clip = _timed("slice_dispatch", _slice_clip, enc, mflat, maskf,
+                      start_eff - wstart, T_clip)
+        state = _timed("clip_dispatch", _clip_step, params, model_cfg,
+                       clip[0], clip[1], clip[2], state, f0_dev, ov_dev,
+                       shapes, T_clip, tr_cfg, inf_cfg.apply_cls_thres,
+                       inf_cfg.clip_topk)
+        saved_idx.update(frame_idx)
 
         is_output = start_idx + stride >= W_win * (saved_clips + 1)
         if is_last_clip or is_output:
-            # one fused device call: average + finalize (bit-packed original-size
-            # masks) + rollover, with the big memory buffers donated
-            out_cls, packed_dev, len_frames = _timed(
-                "finalize_dispatch", tracker.get_result,
-                is_last_clip=is_last_clip,
-                finalize_args=(inf_cfg.match_stride, image_size, ori_size))
-            n = out_cls.shape[0]
-            if n > 0:
-                sl = packed_dev[:n, :len_frames]  # (n, len, oh, ow/8) device
-                try:  # start the d2h copy now; materialized at video end, so the
-                    sl.copy_to_host_async()  # transfer hides behind later clips
+            n_valid = max(saved_idx) - start_frame + 1
+            len_frames = W_win if not is_last_clip else int(n_valid)
+            out_cls_dev, num_inst_dev, packed_dev, state = _timed(
+                "finalize_dispatch", tracker_window_output, state, tr_cfg,
+                inf_cfg.match_stride, tuple(image_size), tuple(ori_size),
+                is_last_clip)
+            # NOTE: packed_dev is NOT async-copied here — the full buffer is
+            # M+1 instances x mem_length frames at original size (~120 MB);
+            # it is sliced to the live instances on device at video end and
+            # only that slice crosses to the host
+            for a in (out_cls_dev, num_inst_dev):
+                try:  # start the small d2h copies now
+                    a.copy_to_host_async()
                 except Exception:
                     pass
-                packed_np = sl
-            else:
-                packed_np = np.zeros((0, len_frames, ori_size[0],
-                                      -(-ori_size[1] // 8)), np.uint8)
-            pred_masks_clips.append(packed_np)
-            pred_cls_clips.append(out_cls)
+            window_outputs.append((out_cls_dev, num_inst_dev, packed_dev,
+                                   len_frames))
             saved_clips += 1
+            if not is_last_clip:  # host shadow of the rollover (reference :216)
+                start_frame += W_win
+                saved_idx = {f for f in saved_idx if f >= start_frame}
 
         _it_ms = 1e3 * (_time.perf_counter() - _it0)
         TIMERS["loop_iter"] = TIMERS.get("loop_iter", 0.0) + _it_ms / 1e3
@@ -443,8 +425,18 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if is_last_clip:
             break
 
-    pred_masks_clips = [_timed("finalize_sync", np.asarray, m)
-                        for m in pred_masks_clips]
+    # single sync point for the whole video
+    pred_cls_clips, pred_masks_clips = [], []
+    for out_cls_dev, num_inst_dev, packed_dev, len_frames in window_outputs:
+        n = int(_timed("finalize_sync", np.asarray, num_inst_dev))
+        pred_cls_clips.append(np.asarray(out_cls_dev)[:n])
+        if n > 0:
+            # slice to live instances ON DEVICE, then transfer just the slice
+            pred_masks_clips.append(
+                np.asarray(packed_dev[:n, :len_frames]))
+        else:
+            pred_masks_clips.append(np.zeros(
+                (0, len_frames, ori_size[0], -(-ori_size[1] // 8)), np.uint8))
     out = _timed("merge_video", inference_video, inf_cfg, ori_size,
                  pred_cls_clips, pred_masks_clips)
     if real_len < video_len:  # drop the short-video padding frames

@@ -29,7 +29,13 @@ def main():
                        max_num_instances=120, apply_cls_thres=0.1,
                        detections_per_image=15, clip_topk=150, num_classes=25)
 
-    params = detr_init(jax.random.PRNGKey(0), cfg)
+    from mdqe_cvpr2023_tpu.utils.compile_cache import enable as enable_cache
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = jax.jit(detr_init, static_argnums=(1,))(jax.random.PRNGKey(0),
+                                                         cfg)
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
+    enable_cache()
     rng = np.random.default_rng(0)
     H, W = 360, 640
     n_frames = int(os.environ.get("PROFILE_FRAMES", 46))  # crosses one window handoff
