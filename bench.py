@@ -42,7 +42,8 @@ def main():
                 flat = [z[str(i)] for i in range(len(z.files))]
             import jax.tree_util as jtu
             treedef = jtu.tree_structure(
-                jax.eval_shape(detr_init, jax.random.PRNGKey(0), cfg))
+                jax.eval_shape(lambda k: detr_init(k, cfg),
+                               jax.random.PRNGKey(0)))
             params = jtu.tree_unflatten(treedef, flat)
         except Exception:
             params = None

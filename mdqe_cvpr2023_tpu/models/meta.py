@@ -193,9 +193,43 @@ def decode_clip_windowed(params, model_cfg: MDQEModelCfg, window_encoded,
                                        apply_cls_thres, topk)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9))
+def _decode_clips_batched(params, model_cfg: MDQEModelCfg, window_encoded,
+                          window_mask_flat, window_mask_feats, offsets,
+                          spatial_shapes, n_frames: int, apply_cls_thres: float,
+                          topk: int):
+    """Decode S clips of one window in a single launch (offsets (S,) int32 are
+    each clip's first frame within the window). One-clip-per-dispatch decoding
+    is launch-bound (~14 ms for ~2 ms of matmuls at B=1); batching the
+    independent overlapping clips into BT=S*T fills the MXU and amortizes every
+    launch. Returns a dict of (S, ...) fixed slabs (vmapped postprocess)."""
+    def gather(a):
+        return jax.vmap(
+            lambda o: jax.lax.dynamic_slice_in_dim(a, o, n_frames, 0))(offsets)
+
+    enc = gather(window_encoded)        # (S, T, N, C)
+    mfl = gather(window_mask_flat)      # (S, T, N)
+    mfe = gather(window_mask_feats)     # (S, T, h4, w4, M)
+    S = offsets.shape[0]
+    out = decoder_apply(params["transformer_dec"], model_cfg.decoder_cfg,
+                        enc.reshape(S * n_frames, *enc.shape[2:]),
+                        mfl.reshape(S * n_frames, -1),
+                        spatial_shapes, n_frames, training=False)
+    return jax.vmap(
+        lambda c, m, q, f: postprocess_clip(c, m, q, f, apply_cls_thres, topk)
+    )(out["cls"], out["mask_coeff"], out["query_embed"], mfe)
+
+
 def _tracker_step_jit():
     from ..tracking.device_tracker import tracker_step
-    return jax.jit(tracker_step, static_argnums=(1,), donate_argnums=(0,))
+
+    def step_at(state, tr_cfg, res, i, f0, overlap):
+        take = jax.tree.map(lambda x: x[i], res)
+        return tracker_step(state, tr_cfg, take["scores"], take["cls_probs"],
+                            take["masks"], take["query_embeds"], take["valid"],
+                            f0, overlap)
+
+    return jax.jit(step_at, static_argnums=(1,), donate_argnums=(0,))
 
 
 _TRACKER_STEP = None
@@ -287,8 +321,9 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     mean_dev = jnp.asarray(pixel_mean, jnp.float32)
     std_dev = jnp.asarray(pixel_std, jnp.float32)
 
-    from ..tracking.device_tracker import (TrackerCfg, tracker_state_init,
-                                           tracker_window_output)
+    from ..tracking.device_tracker import (TrackerCfg, finalize_avg_chunk,
+                                           tracker_state_init,
+                                           tracker_window_average)
 
     mask_hw = (2 * shapes[0][0], 2 * shapes[0][1])  # mask-head output is stride 4
     tr_cfg = TrackerCfg(num_max_inst=inf_cfg.max_num_instances,
@@ -374,6 +409,25 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
             cache[val] = jnp.asarray(arr)
         return cache[val]
 
+    # group consecutive clips that share an encode window into fixed-size decode
+    # batches (padded with repeats; padded entries simply aren't tracker-stepped)
+    S_BATCH = 8
+    groups = []  # (window_key, [schedule indices])
+    for i, (_, _, ws, we) in enumerate(schedule):
+        if groups and groups[-1][0] == (ws, we) and len(groups[-1][1]) < S_BATCH:
+            groups[-1][1].append(i)
+        else:
+            groups.append(((ws, we), [i]))
+    batch_of_clip = {}
+    for g, (wk, idxs) in enumerate(groups):
+        for j, i in enumerate(idxs):
+            batch_of_clip[i] = (g, j)
+    batch_res = {}
+
+    global _TRACKER_STEP
+    if _TRACKER_STEP is None:
+        _TRACKER_STEP = _tracker_step_jit()
+
     import time as _time
     for i, (start_idx, start_eff, wstart, wend) in enumerate(schedule):
         _it0 = _time.perf_counter()
@@ -385,33 +439,34 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         f0_dev = dev_const(_f0_cache, f0, np.int32(f0))
         ov_dev = dev_const(_ov_cache, tuple(overlap), overlap)
 
-        enc, mflat, maskf = get_window(wstart, wend)
-        clip = _timed("slice_dispatch", _slice_clip, enc, mflat, maskf,
-                      start_eff - wstart, T_clip)
-        state = _timed("clip_dispatch", _clip_step, params, model_cfg,
-                       clip[0], clip[1], clip[2], state, f0_dev, ov_dev,
-                       shapes, T_clip, tr_cfg, inf_cfg.apply_cls_thres,
-                       inf_cfg.clip_topk)
+        g, j = batch_of_clip[i]
+        if g not in batch_res:
+            (ws, we), idxs = groups[g]
+            enc, mflat, maskf = get_window(ws, we)
+            offs = [schedule[k][1] - ws for k in idxs]
+            offs = tuple(offs + [offs[-1]] * (S_BATCH - len(offs)))
+            offs_dev = dev_const(_f0_cache, offs, np.asarray(offs, np.int32))
+            res = _timed("decode_dispatch", _decode_clips_batched, params,
+                         model_cfg, enc, mflat, maskf, offs_dev, shapes,
+                         T_clip, inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
+            batch_res = {g: res}  # keep only the current batch alive
+        state = _timed("clip_dispatch", _TRACKER_STEP, state, tr_cfg,
+                       batch_res[g], j, f0_dev, ov_dev)
         saved_idx.update(frame_idx)
 
         is_output = start_idx + stride >= W_win * (saved_clips + 1)
         if is_last_clip or is_output:
             n_valid = max(saved_idx) - start_frame + 1
             len_frames = W_win if not is_last_clip else int(n_valid)
-            out_cls_dev, num_inst_dev, packed_dev, state = _timed(
-                "finalize_dispatch", tracker_window_output, state, tr_cfg,
-                inf_cfg.match_stride, tuple(image_size), tuple(ori_size),
+            out_cls_dev, num_inst_dev, avg_dev, state = _timed(
+                "finalize_dispatch", tracker_window_average, state, tr_cfg,
                 is_last_clip)
-            # NOTE: packed_dev is NOT async-copied here — the full buffer is
-            # M+1 instances x mem_length frames at original size (~120 MB);
-            # it is sliced to the live instances on device at video end and
-            # only that slice crosses to the host
             for a in (out_cls_dev, num_inst_dev):
-                try:  # start the small d2h copies now
+                try:
                     a.copy_to_host_async()
                 except Exception:
                     pass
-            window_outputs.append((out_cls_dev, num_inst_dev, packed_dev,
+            window_outputs.append((out_cls_dev, num_inst_dev, avg_dev,
                                    len_frames))
             saved_clips += 1
             if not is_last_clip:  # host shadow of the rollover (reference :216)
@@ -425,15 +480,33 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if is_last_clip:
             break
 
-    # single sync point for the whole video
+    # video-end finalize: only now sync the (tiny) instance counts — the device
+    # queue is drained, so the sync is cheap and nothing mid-video blocked the
+    # pipeline — then upsample/bit-pack ONLY the live instances (finalizing all
+    # M+1 rows costs ~350 ms of device time + >100 MB of d2h per window)
+    FCH = min(8, inf_cfg.max_num_instances + 1)
+    finalized = []
+    for out_cls_dev, num_inst_dev, avg_dev, len_frames in window_outputs:
+        n = int(_timed("count_sync", np.asarray, num_inst_dev))
+        chunks = []
+        for c0 in range(0, n, FCH):
+            ch = _timed("finalize_chunk_dispatch", finalize_avg_chunk,
+                        jax.lax.dynamic_slice_in_dim(avg_dev, c0, FCH, 0),
+                        inf_cfg.match_stride, tuple(image_size),
+                        tuple(ori_size))
+            ch = ch[:min(FCH, n - c0), :len_frames]
+            try:
+                ch.copy_to_host_async()
+            except Exception:
+                pass
+            chunks.append(ch)
+        finalized.append((out_cls_dev, n, chunks, len_frames))
     pred_cls_clips, pred_masks_clips = [], []
-    for out_cls_dev, num_inst_dev, packed_dev, len_frames in window_outputs:
-        n = int(_timed("finalize_sync", np.asarray, num_inst_dev))
+    for out_cls_dev, n, chunks, len_frames in finalized:
         pred_cls_clips.append(np.asarray(out_cls_dev)[:n])
         if n > 0:
-            # slice to live instances ON DEVICE, then transfer just the slice
-            pred_masks_clips.append(
-                np.asarray(packed_dev[:n, :len_frames]))
+            pred_masks_clips.append(np.concatenate(
+                [_timed("finalize_sync", np.asarray, ch) for ch in chunks]))
         else:
             pred_masks_clips.append(np.zeros(
                 (0, len_frames, ori_size[0], -(-ori_size[1] // 8)), np.uint8))

@@ -235,14 +235,12 @@ def tracker_step(state, cfg: TrackerCfg, scores, cls_probs, masks, embeds, valid
     }
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5),
-                   donate_argnums=(0,))
-def tracker_window_output(state, cfg: TrackerCfg, match_stride: int,
-                          image_size, ori_size, is_last: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2), donate_argnums=(0,))
+def tracker_window_average(state, cfg: TrackerCfg, is_last: bool):
     """Per-window output + rollover as ONE device call (reference get_result
-    :195-225). Returns (out_cls (M, Kc), num_inst, packed bit-masks over the
-    full memory length, new_state); the host slices by num_inst after its
-    (deferred) sync."""
+    :195-225). Returns (out_cls (M, Kc), num_inst, avg logits (M+1, L, h, w),
+    new_state); the host slices by num_inst after its (deferred) sync and
+    finalizes masks lazily per live-instance chunk (finalize_avg_chunk)."""
     M = cfg.num_max_inst
     rows = jnp.arange(M)
     num_inst = state["num_inst"]
@@ -260,13 +258,10 @@ def tracker_window_output(state, cfg: TrackerCfg, match_stride: int,
     den = jnp.clip((tv * w[:, None]).sum(axis=0), 1.0, None)
     emb = (state["ring_embeds"] * w[:, None, None]).sum(axis=0) / den[:, None]
 
-    # mask memory: average + finalize (+ rollover)
     avg = mem_average(state["logit_sum"], state["valid_count"])
-    packed = _finalize_from_avg(avg, match_stride, tuple(image_size),
-                                tuple(ori_size), inst_chunk=8)
 
     if is_last:
-        return out_cls, num_inst, packed, state
+        return out_cls, num_inst, avg, state
 
     L = state["logit_sum"].shape[1]
     roll = L - cfg.window_frames
@@ -294,4 +289,26 @@ def tracker_window_output(state, cfg: TrackerCfg, match_stride: int,
         "num_inst": num_inst,
         "num_clip": jnp.int32(1),
     }
+    return out_cls, num_inst, avg, new_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def finalize_avg_chunk(avg_chunk, match_stride: int, image_size, ori_size):
+    """Upsample+binarize+bit-pack ONE chunk of averaged logits
+    (chunk, L, h4, w4) -> (chunk, L, oh, ceil(ow/8)) uint8. Called only for
+    ceil(num_inst / chunk) chunks: finalizing all M+1 rows per window cost
+    ~350 ms of device time for typically <16 live instances."""
+    return _finalize_from_avg(avg_chunk, match_stride, tuple(image_size),
+                              tuple(ori_size), inst_chunk=avg_chunk.shape[0])
+
+
+def tracker_window_output(state, cfg: TrackerCfg, match_stride: int,
+                          image_size, ori_size, is_last: bool):
+    """Back-compat wrapper: average + full finalize in one call (used by tests;
+    inference_vis uses the lazy per-chunk path)."""
+    from .mask_memory import mem_finalize_masks
+    out_cls, num_inst, avg, new_state = tracker_window_average(state, cfg,
+                                                               is_last)
+    packed = mem_finalize_masks(avg, match_stride, tuple(image_size),
+                                tuple(ori_size))
     return out_cls, num_inst, packed, new_state

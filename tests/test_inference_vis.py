@@ -101,3 +101,38 @@ def test_tracker_new_instance_registration():
     tr.update(_clip([1, 2], m1, e1, np.array([[0.1, 0.1, 0.9]], np.float32),
                     np.array([0.9])))
     assert tr.num_inst == 3
+
+
+def test_batched_decode_matches_single():
+    """_decode_clips_batched must reproduce per-clip decode_and_postprocess
+    results exactly (clips are independent through the decoder)."""
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.models.meta import (_decode_clips_batched,
+                                               _slice_clip,
+                                               decode_and_postprocess_clip,
+                                               encode_frames,
+                                               spatial_shapes_for)
+    from mdqe_cvpr2023_tpu.models.detr import detr_mask_feats
+
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(3)
+    T_win, T_clip = 6, 2
+    Hp = Wp = 64
+    imgs = jnp.asarray(rng.standard_normal((T_win, Hp, Wp, 3)), jnp.float32)
+    sizes = jnp.asarray([[60, 62]] * T_win, jnp.int32)
+    shapes = spatial_shapes_for(TINY, (Hp, Wp))
+    enc, mflat = encode_frames(params, TINY, imgs, sizes)
+    maskf = detr_mask_feats(params, TINY, enc, shapes)
+
+    offsets = jnp.asarray([0, 2, 3, 3], jnp.int32)  # incl. a padded repeat
+    batched = _decode_clips_batched(params, TINY, enc, mflat, maskf, offsets,
+                                    shapes, T_clip, 0.05, 8)
+    for j, off in enumerate([0, 2, 3]):
+        c = _slice_clip(enc, mflat, maskf, off, T_clip)
+        single = decode_and_postprocess_clip(params, TINY, c[0], c[1], shapes,
+                                             c[2], T_clip, 0.05, 8)
+        for k in ("scores", "classes", "cls_probs", "masks", "query_embeds",
+                  "valid"):
+            np.testing.assert_allclose(np.asarray(batched[k][j]),
+                                       np.asarray(single[k]), rtol=2e-4,
+                                       atol=2e-4, err_msg=f"{k} clip {j}")
