@@ -98,13 +98,18 @@ class RandomFlip(ClipTransform):
 
 class RandomCrop(ClipTransform):
     """relative_range: crop size uniform in [size, 1]*HW; absolute_range: pixel
-    range. The crop window is drawn once for the whole clip."""
+    range. The crop SIZE is drawn once per clip; the crop anchor MOVES linearly
+    between two random positions across the clip's frames with sorted (possibly
+    reversed) interpolation fractions — simulated camera panning (reference
+    RandomCropClip, augmentation.py:190-246)."""
 
-    def __init__(self, rng, in_hw, crop_type: str, size):
+    def __init__(self, rng, in_hw, crop_type: str, size, n_frames: int = 1):
         h, w = in_hw
         if crop_type == "relative_range":
             ch = int(h * (size[0] + rng.random() * (1 - size[0])) + 0.5)
             cw = int(w * (size[1] + rng.random() * (1 - size[1])) + 0.5)
+        elif crop_type == "relative":
+            ch, cw = int(h * size[0] + 0.5), int(w * size[1] + 0.5)
         elif crop_type == "absolute_range":
             ch = min(h, int(rng.integers(min(size[0], h), min(size[1], h) + 1)))
             cw = min(w, int(rng.integers(min(size[0], w), min(size[1], w) + 1)))
@@ -112,24 +117,110 @@ class RandomCrop(ClipTransform):
             ch, cw = min(h, int(size[0])), min(w, int(size[1]))
         else:
             raise ValueError(crop_type)
-        self.y0 = int(rng.integers(0, h - ch + 1))
-        self.x0 = int(rng.integers(0, w - cw + 1))
+        # moving anchor: start (y0,x0), end (y1,x1) with y1>=y0, x1>=x0
+        y0 = int(rng.integers(0, h - ch + 1))
+        x0 = int(rng.integers(0, w - cw + 1))
+        y1 = int(rng.integers(y0, h - ch + 1))
+        x1 = int(rng.integers(x0, w - cw + 1))
+        frac = np.sort(rng.random(max(n_frames, 1)))
+        ys = np.round(y0 * frac + y1 * (1 - frac)).astype(int)
+        xs = np.round(x0 * frac + x1 * (1 - frac)).astype(int)
+        if rng.random() < 0.5:
+            ys, xs = ys[::-1], xs[::-1]
+        self.ys, self.xs = ys, xs
         self.ch, self.cw = ch, cw
         self.out_hw = (ch, cw)
 
+    def _yx(self, frame_idx):
+        i = min(frame_idx, len(self.ys) - 1)
+        return int(self.ys[i]), int(self.xs[i])
+
     def apply_image(self, img, frame_idx=0):
-        return img[self.y0:self.y0 + self.ch, self.x0:self.x0 + self.cw]
+        y0, x0 = self._yx(frame_idx)
+        return img[y0:y0 + self.ch, x0:x0 + self.cw]
 
     def apply_box(self, boxes, frame_idx=0):
         if len(boxes) == 0:
             return boxes
-        b = boxes - np.array([self.x0, self.y0, self.x0, self.y0])
+        y0, x0 = self._yx(frame_idx)
+        b = boxes - np.array([x0, y0, x0, y0])
         b[:, 0::2] = b[:, 0::2].clip(0, self.cw)
         b[:, 1::2] = b[:, 1::2].clip(0, self.ch)
         return b
 
     def apply_mask(self, masks, frame_idx=0):
-        return masks[:, self.y0:self.y0 + self.ch, self.x0:self.x0 + self.cw]
+        y0, x0 = self._yx(frame_idx)
+        return masks[:, y0:y0 + self.ch, x0:x0 + self.cw]
+
+
+class ResizeScale(ClipTransform):
+    """LSJ resize: one random scale per clip; the image is scaled to fit inside
+    scale*(target_h, target_w) keeping aspect ratio (reference ResizeScaleClip,
+    augmentation.py:131-188)."""
+
+    def __init__(self, rng, in_hw, min_scale: float, max_scale: float,
+                 target_h: int, target_w: int):
+        scale = float(rng.uniform(min_scale, max_scale))
+        h, w = in_hw
+        out_scale = min(target_h * scale / h, target_w * scale / w)
+        self.out_hw = (int(round(h * out_scale)), int(round(w * out_scale)))
+        self.in_hw = in_hw
+
+    def apply_image(self, img, frame_idx=0):
+        return _resize_image(img, *self.out_hw)
+
+    def apply_box(self, boxes, frame_idx=0):
+        sy = self.out_hw[0] / self.in_hw[0]
+        sx = self.out_hw[1] / self.in_hw[1]
+        return boxes * np.array([sx, sy, sx, sy])
+
+    def apply_mask(self, masks, frame_idx=0):
+        return np.stack([_resize_mask(m, *self.out_hw) for m in masks]) \
+            if len(masks) else masks.reshape((0,) + self.out_hw)
+
+
+class FixedSizeCrop(ClipTransform):
+    """Crop to a fixed (h, w) with one random offset per clip; images smaller
+    than the target are padded bottom/right with pad_value (reference
+    FixedSizeCropClip, augmentation.py:274-330)."""
+
+    def __init__(self, rng, in_hw, crop_hw: Tuple[int, int],
+                 pad_value: float = 128.0):
+        h, w = in_hw
+        th, tw = crop_hw
+        off = rng.uniform(0.0, 1.0)
+        self.y0 = int(round(max(h - th, 0) * off))
+        self.x0 = int(round(max(w - tw, 0) * off))
+        self.out_hw = (th, tw)
+        self.pad_value = pad_value
+
+    def apply_image(self, img, frame_idx=0):
+        th, tw = self.out_hw
+        crop = img[self.y0:self.y0 + th, self.x0:self.x0 + tw]
+        if crop.shape[0] < th or crop.shape[1] < tw:
+            pad = [(0, th - crop.shape[0]), (0, tw - crop.shape[1])]
+            pad += [(0, 0)] * (crop.ndim - 2)
+            crop = np.pad(crop, pad, constant_values=self.pad_value)
+        return crop
+
+    def apply_box(self, boxes, frame_idx=0):
+        if len(boxes) == 0:
+            return boxes
+        th, tw = self.out_hw
+        b = boxes - np.array([self.x0, self.y0, self.x0, self.y0])
+        b[:, 0::2] = b[:, 0::2].clip(0, tw)
+        b[:, 1::2] = b[:, 1::2].clip(0, th)
+        return b
+
+    def apply_mask(self, masks, frame_idx=0):
+        th, tw = self.out_hw
+        if len(masks) == 0:
+            return masks.reshape((0, th, tw))
+        crop = masks[:, self.y0:self.y0 + th, self.x0:self.x0 + tw]
+        if crop.shape[1] < th or crop.shape[2] < tw:
+            crop = np.pad(crop, [(0, 0), (0, th - crop.shape[1]),
+                                 (0, tw - crop.shape[2])])
+        return crop
 
 
 class RandomRotation(ClipTransform):
@@ -207,6 +298,12 @@ class AugmentationPipeline:
     rotation: bool = False
     color_kinds: Sequence[str] = ()
     is_train: bool = True
+    # LSJ (large-scale jitter) mode: flip -> ResizeScale -> FixedSizeCrop
+    # (reference build_augmentation use_lsj branch, augmentation.py:435-461)
+    lsj_enabled: bool = False
+    lsj_image_size: int = 1024
+    lsj_min_scale: float = 0.1
+    lsj_max_scale: float = 2.0
 
     def sample(self, rng, in_hw, n_frames: int,
                min_size: Optional[int] = None) -> List[ClipTransform]:
@@ -218,10 +315,21 @@ class AugmentationPipeline:
             tfms.append(ResizeShortestEdge(rng, hw, [self.min_sizes[0]],
                                            self.max_size))
             return tfms
+        if self.lsj_enabled:
+            flip = RandomFlip(rng, hw)
+            tfms.append(flip)
+            scale = ResizeScale(rng, hw, self.lsj_min_scale, self.lsj_max_scale,
+                                self.lsj_image_size, self.lsj_image_size)
+            tfms.append(scale)
+            tfms.append(FixedSizeCrop(rng, scale.out_hw,
+                                      (self.lsj_image_size,
+                                       self.lsj_image_size)))
+            return tfms
         if self.rotation and _HAS_CV2:
             tfms.append(RandomRotation(rng, hw, n_frames=n_frames))
         if self.crop_enabled:
-            crop = RandomCrop(rng, hw, self.crop_type, self.crop_size)
+            crop = RandomCrop(rng, hw, self.crop_type, self.crop_size,
+                              n_frames=n_frames)
             tfms.append(crop)
             hw = crop.out_hw
         sizes = [min_size] if min_size is not None else self.min_sizes

@@ -104,6 +104,10 @@ def get_default_config() -> CfgNode:
             "MIN_SIZE_TRAIN_SAMPLING": "choice_by_clip",
             "MAX_SIZE_TRAIN": 800, "MIN_SIZE_TEST": 360, "MAX_SIZE_TEST": 1333,
             "CROP": {"ENABLED": False, "TYPE": "relative_range", "SIZE": [0.8, 0.8]},
+            # large-scale-jitter pipeline (reference mdqe/config.py:33-37;
+            # flip -> ResizeScale -> FixedSizeCrop when enabled)
+            "LSJ_AUG": {"ENABLED": False, "IMAGE_SIZE": 1024,
+                        "MIN_SCALE": 0.1, "MAX_SCALE": 2.0},
             "PSEUDO": {
                 "AUGMENTATIONS": ["rotation"],
                 "MIN_SIZE_TRAIN": [480, 512, 544, 576, 608, 640, 672, 704, 736, 768],

@@ -79,6 +79,7 @@ class Trainer:
             records = get_dataset(name, self.datasets_root)
             pseudo = name.startswith("coco")
             inp = cfg.INPUT.PSEUDO if pseudo else cfg.INPUT
+            lsj = cfg.INPUT.LSJ_AUG
             aug = AugmentationPipeline(
                 min_sizes=list(inp.MIN_SIZE_TRAIN),
                 max_size=inp.MAX_SIZE_TRAIN,
@@ -87,6 +88,10 @@ class Trainer:
                 crop_size=tuple(inp.CROP.SIZE),
                 rotation="rotation" in inp.AUGMENTATIONS,
                 color_kinds=[a for a in inp.AUGMENTATIONS if a != "rotation"],
+                lsj_enabled=bool(lsj.ENABLED) and not pseudo,
+                lsj_image_size=lsj.IMAGE_SIZE,
+                lsj_min_scale=lsj.MIN_SCALE,
+                lsj_max_scale=lsj.MAX_SCALE,
             )
             mapper = ClipMapper(aug, n_frames, cfg.INPUT.SAMPLING_FRAME_RANGE,
                                 pseudo=pseudo)
@@ -100,6 +105,9 @@ class Trainer:
                 wide = min(inp.MAX_SIZE_TRAIN, -(-16 * m // 9))
                 buckets.add((pad(m), pad(wide)))
                 buckets.add((pad(m), pad(inp.MAX_SIZE_TRAIN)))
+            if cfg.INPUT.LSJ_AUG.ENABLED and not pseudo:
+                sz = pad(cfg.INPUT.LSJ_AUG.IMAGE_SIZE)
+                buckets.add((sz, sz))
         ratios = cfg.DATASETS.DATASET_RATIO
         if not ratios or len(ratios) != len(sources):
             ratios = [1.0] * len(sources)
@@ -213,7 +221,16 @@ class Trainer:
         records = get_dataset(name, root)
         if max_videos:
             records = records[:max_videos]
+        # shard videos across processes; gather predictions before evaluation
+        # (reference ytvis_eval.py:122-128 comm.gather to rank 0)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            records = records[jax.process_index()::n_proc]
         predictions = self.predict_videos(records)
+        if n_proc > 1:
+            from ..utils.dist import all_gather_objects
+            predictions = [p for part in all_gather_objects(predictions)
+                           for p in part]
 
         metrics = None
         if gt_json.get("annotations"):

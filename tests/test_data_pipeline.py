@@ -94,3 +94,55 @@ def test_combined_loader_batches(mini_ytvis):
     assert batch["valid"].any()
     # boxes normalized
     assert batch["boxes"].min() >= 0 and batch["boxes"].max() <= 1
+
+
+def test_moving_crop_consistency():
+    """RandomCrop interpolates the anchor across frames; image/box/mask must
+    agree per frame (reference RandomCropClip camera-motion semantics)."""
+    from mdqe_cvpr2023_tpu.data.augmentation import RandomCrop
+    rng = np.random.default_rng(0)
+    H, W, T = 60, 80, 4
+    crop = RandomCrop(rng, (H, W), "relative_range", (0.5, 0.5), n_frames=T)
+    img = np.arange(H * W * 3, dtype=np.uint8).reshape(H, W, 3)
+    mask = np.zeros((1, H, W), bool)
+    mask[0, 10:30, 20:50] = True
+    anchors = set()
+    for t in range(T):
+        out = crop.apply_image(img, t)
+        assert out.shape == (crop.ch, crop.cw, 3)
+        m = crop.apply_mask(mask, t)
+        assert m.shape == (1, crop.ch, crop.cw)
+        # the image crop and mask crop come from the same window
+        y0, x0 = crop._yx(t)
+        np.testing.assert_array_equal(out, img[y0:y0+crop.ch, x0:x0+crop.cw])
+        anchors.add((y0, x0))
+    assert len(anchors) >= 1  # moving (usually >1, can collapse on tiny draws)
+
+
+def test_lsj_pipeline_fixed_output():
+    """LSJ mode: flip -> ResizeScale -> FixedSizeCrop produces the fixed target
+    size for any input geometry (reference augmentation.py:435-461)."""
+    from mdqe_cvpr2023_tpu.data.augmentation import (AugmentationPipeline,
+                                                     apply_transforms)
+    rng = np.random.default_rng(1)
+    pipe = AugmentationPipeline(min_sizes=[320], max_size=800,
+                                lsj_enabled=True, lsj_image_size=96,
+                                lsj_min_scale=0.5, lsj_max_scale=1.5)
+    for (H, W) in [(40, 60), (120, 100), (96, 96)]:
+        tfms = pipe.sample(rng, (H, W), n_frames=2)
+        img = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+        boxes = np.array([[5.0, 5.0, 30.0, 20.0]])
+        masks = np.zeros((1, H, W), bool)
+        masks[0, 5:20, 5:30] = True
+        out, b, m = apply_transforms(tfms, img, boxes, masks, 0)
+        assert out.shape == (96, 96, 3)
+        assert m.shape == (1, 96, 96)
+        assert b.min() >= 0 and b[:, 0::2].max() <= 96 and b[:, 1::2].max() <= 96
+
+
+def test_resize_scale_aspect():
+    from mdqe_cvpr2023_tpu.data.augmentation import ResizeScale
+    rng = np.random.default_rng(2)
+    rs = ResizeScale(rng, (100, 200), 1.0, 1.0, 50, 50)
+    # scale 1: fit (100,200) into (50,50) -> (25, 50)
+    assert rs.out_hw == (25, 50)
