@@ -81,6 +81,7 @@ def test_coco_eval_end_to_end(mini_coco, tmp_path, monkeypatch):
         assert np.isfinite(p["score"])
 
 
+@pytest.mark.slow
 def test_inference_image_multi_cls_and_single_cls(mini_coco, tmp_path):
     """Direct inference_image coverage for both classification branches."""
     import dataclasses

@@ -103,6 +103,7 @@ def test_tracker_new_instance_registration():
     assert tr.num_inst == 3
 
 
+@pytest.mark.slow
 def test_batched_decode_matches_single():
     """_decode_clips_batched must reproduce per-clip decode_and_postprocess
     results exactly (clips are independent through the decoder)."""

@@ -64,6 +64,7 @@ def test_inference_clip_path(tiny_model):
     assert cls.min() >= 0 and cls.max() <= 1
 
 
+@pytest.mark.slow
 def test_jit_compiles(tiny_model):
     T = TINY.n_frames
     images = jnp.zeros((T, 32, 32, 3), jnp.float32)

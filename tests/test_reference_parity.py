@@ -152,6 +152,7 @@ def test_mask_head_parity():
     np.testing.assert_allclose(got, expected, atol=5e-5, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_decoder_parity_eval():
     ref = load_reference_models()
     torch.manual_seed(4)

@@ -12,6 +12,7 @@ def test_preset_channels(kind, embed):
     assert cfg.swin_cfg.embed_dim == embed
 
 
+@pytest.mark.slow
 def test_tiny_preset_forward():
     import jax
     import jax.numpy as jnp
