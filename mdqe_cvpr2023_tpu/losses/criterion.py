@@ -348,9 +348,17 @@ def criterion_apply(cfg: CriterionCfg, outputs, targets, relpos_grid, rng):
     losses = _query_init_losses(cfg, qi["rpn_sem_cls"], qi["query_init_embed"],
                                 qi["query_coords_grid"], targets, relpos_grid, rng)
 
+    # remat each layer's losses: the (Q, THW) mask tensors (out_masks, softplus
+    # and sigmoid intermediates) are ~0.5 GB per decoder layer at 512x800; stored
+    # for backward across 7 layers they blow past HBM (measured 19 GB of XLA
+    # temps -> spilling ~2.3x the whole train step). Recomputing them in the
+    # backward costs ~0.1 s.
+    ckpt_layer = jax.checkpoint(
+        lambda c, b, m, pr: _hungarian_layer_losses(cfg, c, b, m, pr, targets),
+        static_argnums=())
     for l in range(L):
-        ld = _hungarian_layer_losses(cfg, outputs["cls"][l], outputs["boxes"][l],
-                                     outputs["mask_coeff"][l], proto, targets)
+        ld = ckpt_layer(outputs["cls"][l], outputs["boxes"][l],
+                        outputs["mask_coeff"][l], proto)
         suffix = "" if l == L - 1 else f"_{l}"
         for k, v in ld.items():
             losses[k + suffix] = v

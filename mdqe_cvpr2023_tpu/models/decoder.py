@@ -351,7 +351,10 @@ def decoder_loop(params, cfg: DecoderCfg, x, x_ref_points, src, spatial_shapes,
         return carry, (x, x_inst, x_boxes)
 
     carry0 = (x, x_inst, x_ref_boxes, x_pos, x_inst_ref_boxes, x_inst_pos)
-    _, (ys_x, ys_inst, ys_boxes) = jax.lax.scan(body, carry0, xs_in)
+    # remat per layer during training (see encoder_apply); eval takes no grad,
+    # so checkpoint is free there
+    scan_body = jax.checkpoint(body) if rng is not None else body
+    _, (ys_x, ys_inst, ys_boxes) = jax.lax.scan(scan_body, carry0, xs_in)
     inter_x = jnp.concatenate([x[None], ys_x])
     inter_inst = jnp.concatenate([x_inst[None], ys_inst])
     inter_boxes = jnp.concatenate([x_boxes[None], ys_boxes])

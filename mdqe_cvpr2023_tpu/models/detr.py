@@ -131,12 +131,17 @@ def padding_masks(image_sizes, padded_hw: Tuple[int, int], strides: Sequence[int
 def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes):
     """images (BT,Hp,Wp,3) normalized NHWC; image_sizes (BT,2).
     Returns (srcs, masks, pos): per-level projected features, padding masks, sine pos."""
+    # remat the backbone for backward: its stem/res2 activations are ~GBs at
+    # train geometry and storing them contributes to HBM spilling; recomputing
+    # the whole backbone costs a few ms (free under eval-only jits)
     if cfg.backbone.startswith("resnet"):
-        feats = resnet_apply(params["backbone"], images)
+        feats = jax.checkpoint(resnet_apply)(params["backbone"], images)
         feat_list = [feats["res3"], feats["res4"], feats["res5"]]
     else:
         from .swin import swin_apply
-        feat_list = swin_apply(params["backbone"], images, cfg.swin_cfg)
+        feat_list = jax.checkpoint(
+            lambda p, x: swin_apply(p, x, cfg.swin_cfg))(params["backbone"],
+                                                         images)
 
     strides = list(cfg.feature_strides)
     extra_levels = cfg.n_feature_levels - len(feat_list)

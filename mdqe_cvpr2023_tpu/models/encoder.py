@@ -111,7 +111,10 @@ def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos, drop_rate=0.0,
                                mask, drop_rate, lrng)
             return x, None
 
-        x, _ = jax.lax.scan(body, src, (stacked, keys))
+        # remat each layer for backward: storing every layer's deform-attn
+        # residuals (value/locations/weights, ~200 MB per layer at train
+        # geometry) contributes to HBM spilling; recompute is ~1 extra fwd
+        x, _ = jax.lax.scan(jax.checkpoint(body), src, (stacked, keys))
     else:
         def body(x, lp):
             x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes,
