@@ -77,11 +77,15 @@ def main():
         img = img[:, :, ::-1]  # BGR -> RGB
         H, W = img.shape[:2]
 
+        # one transform list per CLIP, reused across frames (reference
+        # predictor.py:80-84): per-frame independent draws produce frames of
+        # different sizes, and the zero padding of the smaller frames would be
+        # fed to the model as valid image content
+        tfms = pipe.sample(rng, (H, W), n_frames=n_frames)
         frames = []
         for t in range(n_frames):
-            tfms = pipe.sample(rng, (H, W), n_frames=1)
             f, _, _ = apply_transforms(
-                tfms, img, np.zeros((0, 4)), np.zeros((0, H, W), bool), 0)
+                tfms, img, np.zeros((0, 4)), np.zeros((0, H, W), bool), t)
             frames.append(f)
         fh = max(f.shape[0] for f in frames)
         fw = max(f.shape[1] for f in frames)

@@ -89,6 +89,12 @@ def get_default_config() -> CfgNode:
                 "INTERINST_MASK_LOSS_ENABLED": True, "INTERINST_MASK_THRESHOLD": 0.1,
                 "CLIP_STRIDE": 1, "SAMPLING_FRAME_NUM_TEST": 5,
                 "WINDOW_FRAME_NUM_TEST": 20, "MAX_NUM_INSTANCES": 50,
+                # MERGE_ON_CPU is accepted (the mirrored reference configs set
+                # it) but deliberately ignored: it existed to dodge GPU OOM by
+                # keeping tracker memory on CPU (reference mdqe.py:185-186);
+                # here the tracker is fixed-shape with instance-chunked
+                # finalization, so its device footprint is statically bounded
+                # and the CPU fallback is obsolete (see PARITY.md).
                 "MERGE_ON_CPU": False, "MULTI_CLS_ON": True, "APPLY_CLS_THRES": 0.05,
             },
         },

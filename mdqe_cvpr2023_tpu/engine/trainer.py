@@ -186,21 +186,52 @@ class Trainer:
         ckptr.wait_until_finished()
         print(f"saved checkpoint {path}", flush=True)
 
-    def load_checkpoint(self, path: str):
+    def load_checkpoint(self, path: str, params_only: bool = False):
+        """Restore full training state {params, opt_state, step}.
+
+        A checkpoint that does not round-trip against the live state template
+        (wrong model config, corrupted files, legacy params-only layout) raises
+        instead of silently dropping opt_state — a silent optimizer restart
+        changes training results without any sign of it. Pass
+        ``params_only=True`` to explicitly restore just the params from a
+        legacy/foreign checkpoint; the optimizer is then loudly re-initialized.
+        """
         import orbax.checkpoint as ocp
         ckptr = ocp.StandardCheckpointer()
+        path = os.path.abspath(path)
+        if params_only:
+            restored = ckptr.restore(path)  # raw-tree restore
+            if not isinstance(restored, dict) or "params" not in restored:
+                raise ValueError(
+                    f"checkpoint {path} has no 'params' entry; keys: "
+                    f"{sorted(restored) if isinstance(restored, dict) else type(restored)}")
+            self.params = _check_tree_shapes(self.params, restored["params"], path)
+            self.opt_state = self.tx.init(self.params)
+            self.iteration = int(restored.get("step", 0))
+            print(f"[checkpoint] params-only restore from {path}: optimizer "
+                  "state RE-INITIALIZED", flush=True)
+            return
         # restore with the live state as the item template so optax's typed
-        # containers (ScaleByAdamState etc.) round-trip; fall back to raw-tree
-        # restore for params-only checkpoints from older saves
+        # containers (ScaleByAdamState etc.) round-trip
         template = {"params": self.params, "opt_state": self.opt_state,
                     "step": self.iteration}
         try:
-            restored = ckptr.restore(os.path.abspath(path), template)
-            self.opt_state = restored["opt_state"]
-        except BaseException:
-            restored = ckptr.restore(os.path.abspath(path))
+            restored = ckptr.restore(path, template)
+            # orbax restores the on-disk shapes even when the template differs;
+            # verify explicitly so a config mismatch cannot slip through
+            _check_tree_shapes(template["params"], restored["params"], path)
+            _check_tree_shapes(template["opt_state"], restored["opt_state"],
+                               path)
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint {path} does not match the current training state "
+                "(model/optimizer config changed, or a legacy params-only "
+                "save). Use load_checkpoint(path, params_only=True) to restore "
+                f"just the params with a fresh optimizer. Original error: {e}"
+            ) from e
         self.params = restored["params"]
-        self.iteration = int(restored.get("step", 0))
+        self.opt_state = restored["opt_state"]
+        self.iteration = int(restored["step"])
 
     # ------------------------------------------------------------------
     def test(self, dataset_name: Optional[str] = None, max_videos: Optional[int] = None):
@@ -232,15 +263,21 @@ class Trainer:
             predictions = [p for part in all_gather_objects(predictions)
                            for p in part]
 
+        # evaluate + write on the main process only: on a shared filesystem
+        # concurrent writes from multiple hosts interleave/truncate the file
+        # (reference gathers to rank 0 and only rank 0 evaluates,
+        # ytvis_eval.py:122-128)
+        from ..utils.dist import is_main_process
         metrics = None
-        if gt_json.get("annotations"):
-            ev = YTVISEvaluator(gt_json)
-            metrics = ev.evaluate(predictions)
-            print({k: round(v, 2) for k, v in metrics.items()
-                   if not isinstance(v, dict)}, flush=True)
-        out = os.path.join(self.output_dir, f"results_{name}.json")
-        with open(out, "w") as f:
-            json.dump(predictions, f)
+        if is_main_process():
+            if gt_json.get("annotations"):
+                ev = YTVISEvaluator(gt_json)
+                metrics = ev.evaluate(predictions)
+                print({k: round(v, 2) for k, v in metrics.items()
+                       if not isinstance(v, dict)}, flush=True)
+            out = os.path.join(self.output_dir, f"results_{name}.json")
+            with open(out, "w") as f:
+                json.dump(predictions, f)
         return metrics, predictions
 
     def predict_videos(self, records: List[Dict]) -> List[Dict]:
@@ -285,6 +322,25 @@ def _resize(img, h, w):
     except Exception:
         from PIL import Image
         return np.asarray(Image.fromarray(img).resize((w, h), Image.BILINEAR))
+
+
+def _check_tree_shapes(template, loaded, path):
+    """Validate a params-only restore leaf-by-leaf (structure + shapes) so a
+    config/checkpoint mismatch fails with a named leaf, not a downstream
+    shape error."""
+    t_leaves, t_def = jax.tree.flatten(template)
+    l_leaves, l_def = jax.tree.flatten(loaded)
+    if t_def != l_def:
+        raise ValueError(f"checkpoint {path} params tree structure does not "
+                         f"match the model: {l_def} vs expected {t_def}")
+    for kp, t, l in zip(jax.tree_util.tree_flatten_with_path(template)[0],
+                        t_leaves, l_leaves):
+        if tuple(np.shape(t)) != tuple(np.shape(l)):
+            name = jax.tree_util.keystr(kp[0])
+            raise ValueError(
+                f"checkpoint {path} leaf {name} has shape {np.shape(l)}, "
+                f"model expects {np.shape(t)}")
+    return loaded
 
 
 def _merge_params(init_params, loaded):

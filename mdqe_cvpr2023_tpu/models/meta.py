@@ -299,6 +299,32 @@ def preprocess_frames(frames_u8, pixel_mean=None, pixel_std=None,
     return out, sizes
 
 
+def _finalize_window(window_out, inf_cfg: InferenceCfg, image_size, ori_size):
+    """Sync one window's instance count and dispatch upsample/bit-pack of its
+    live rows in fixed-size chunks. avg_dev has M+1 rows; a chunk whose start
+    would run past the end is shifted back (dynamic_slice clamps the start
+    index, so without the shift the rows returned would NOT begin at c0 and
+    the tail instances of a near-full tracker got the wrong masks)."""
+    from ..tracking.device_tracker import finalize_avg_chunk
+    out_cls_dev, num_inst_dev, avg_dev, len_frames = window_out
+    FCH = min(8, inf_cfg.max_num_instances + 1)
+    rows = inf_cfg.max_num_instances + 1
+    n = int(_timed("count_sync", np.asarray, num_inst_dev))
+    chunks = []
+    for c0 in range(0, n, FCH):
+        start = min(c0, rows - FCH)
+        ch = _timed("finalize_chunk_dispatch", finalize_avg_chunk,
+                    jax.lax.dynamic_slice_in_dim(avg_dev, start, FCH, 0),
+                    inf_cfg.match_stride, tuple(image_size), tuple(ori_size))
+        ch = ch[c0 - start:c0 - start + min(FCH, n - c0), :len_frames]
+        try:
+            ch.copy_to_host_async()
+        except Exception:
+            pass
+        chunks.append(ch)
+    return out_cls_dev, n, chunks, len_frames
+
+
 def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                   frames: np.ndarray, image_size: Tuple[int, int],
                   ori_size: Tuple[int, int],
@@ -336,7 +362,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     start_frame = 0
     saved_idx: set = set()
     saved_clips = 0
-    window_outputs = []  # deferred (out_cls_dev, num_inst_dev, packed_dev, len)
+    window_outputs = []  # pending (out_cls_dev, num_inst_dev, avg_dev, len)
+    finalized = []       # windows already through _finalize_window
     sizes_all = np.tile(np.asarray([list(image_size)], np.int32), (video_len, 1))
 
     # ---- precompute the clip/window schedule (reference loop :308-332), so clip
@@ -468,6 +495,13 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                     pass
             window_outputs.append((out_cls_dev, num_inst_dev, avg_dev,
                                    len_frames))
+            # bound the deferred list: once two newer windows exist, window w's
+            # count sync has certainly landed (the queue is FIFO), so finalize
+            # it now and release its (M+1, L, h4, w4) fp32 avg slab — otherwise
+            # HBM grows linearly with video length (one ~75 MB slab per window)
+            if len(window_outputs) > 2:
+                finalized.append(_finalize_window(window_outputs.pop(0),
+                                                  inf_cfg, image_size, ori_size))
             saved_clips += 1
             if not is_last_clip:  # host shadow of the rollover (reference :216)
                 start_frame += W_win
@@ -480,27 +514,13 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if is_last_clip:
             break
 
-    # video-end finalize: only now sync the (tiny) instance counts — the device
-    # queue is drained, so the sync is cheap and nothing mid-video blocked the
-    # pipeline — then upsample/bit-pack ONLY the live instances (finalizing all
-    # M+1 rows costs ~350 ms of device time + >100 MB of d2h per window)
-    FCH = min(8, inf_cfg.max_num_instances + 1)
-    finalized = []
-    for out_cls_dev, num_inst_dev, avg_dev, len_frames in window_outputs:
-        n = int(_timed("count_sync", np.asarray, num_inst_dev))
-        chunks = []
-        for c0 in range(0, n, FCH):
-            ch = _timed("finalize_chunk_dispatch", finalize_avg_chunk,
-                        jax.lax.dynamic_slice_in_dim(avg_dev, c0, FCH, 0),
-                        inf_cfg.match_stride, tuple(image_size),
-                        tuple(ori_size))
-            ch = ch[:min(FCH, n - c0), :len_frames]
-            try:
-                ch.copy_to_host_async()
-            except Exception:
-                pass
-            chunks.append(ch)
-        finalized.append((out_cls_dev, n, chunks, len_frames))
+    # video-end finalize: sync the (tiny) instance counts, then upsample/bit-pack
+    # ONLY the live instances (finalizing all M+1 rows costs ~350 ms of device
+    # time + >100 MB of d2h per window). Finalization of window w is deferred
+    # until window w+2 exists (see the loop above), so mid-video the count sync
+    # never blocks the pipeline and at most 3 full avg slabs are live on device.
+    finalized += [_finalize_window(wo, inf_cfg, image_size, ori_size)
+                  for wo in window_outputs]
     pred_cls_clips, pred_masks_clips = [], []
     for out_cls_dev, n, chunks, len_frames in finalized:
         pred_cls_clips.append(np.asarray(out_cls_dev)[:n])

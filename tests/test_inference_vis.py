@@ -103,6 +103,36 @@ def test_tracker_new_instance_registration():
     assert tr.num_inst == 3
 
 
+def test_finalize_window_near_full_tracker():
+    """Regression: with num_inst close to max_num_instances the final finalize
+    chunk starts past rows-FCH, where dynamic_slice clamps the start index; the
+    unshifted slice silently returned the WRONG rows for the tail instances
+    (e.g. rows 5..8 instead of 8..11 at M=12, FCH=8)."""
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.models.meta import _finalize_window
+    from mdqe_cvpr2023_tpu.tracking.mask_memory import mem_finalize_masks
+
+    M, L = 12, 4  # rows = M+1 = 13, FCH = 8 -> second chunk would clamp
+    h4 = w4 = 4
+    # encode the row identity in the per-frame mask pattern: frame f of row i
+    # is all-on iff bit f of i is set (distinguishes every row pair)
+    i_idx = np.arange(M + 1)[:, None, None, None]
+    f_idx = np.arange(L)[None, :, None, None]
+    avg = np.where((i_idx >> f_idx) & 1, 1.0, -1.0).astype(np.float32)
+    avg = np.broadcast_to(avg, (M + 1, L, h4, w4)).copy()
+
+    inf_cfg = InferenceCfg(max_num_instances=M, match_stride=4, num_classes=3)
+    n = 12
+    out_cls = jnp.zeros((M, 3))
+    got = _finalize_window((out_cls, jnp.int32(n), jnp.asarray(avg), L),
+                           inf_cfg, (16, 16), (16, 16))
+    assert got[1] == n
+    packed = np.concatenate([np.asarray(c) for c in got[2]])
+    expected = np.asarray(mem_finalize_masks(jnp.asarray(avg), 4, (16, 16),
+                                             (16, 16)))[:n]
+    np.testing.assert_array_equal(packed, expected)
+
+
 @pytest.mark.slow
 def test_batched_decode_matches_single():
     """_decode_clips_batched must reproduce per-clip decode_and_postprocess
