@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.misc import aligned_bilinear, interpolate_bilinear, interpolate_nearest
+from ..utils.misc import aligned_bilinear
 from .decoder import decoder_apply
 from .detr import MDQEModelCfg, detr_encode, detr_mask_feats
 
@@ -43,6 +43,8 @@ class InferenceCfg:
     clip_topk: int = 32            # fixed per-clip detection slab (device output)
     encode_chunk: int = 10         # frames per backbone/encoder launch
     num_classes: int = 25
+    bf16_encode: bool = True       # fp32 backbone+encoder when False (parity tests)
+    coco_topk: int = 100           # fixed COCO per-image detection slab
 
 
 # ---------------------------------------------------------------------------
@@ -128,18 +130,21 @@ def encode_frames(params, model_cfg: MDQEModelCfg, images, image_sizes):
     return encoded, mask_flat
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes"))
+@functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes", "bf16"))
 def encode_window(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
-                  pixel_mean, pixel_std, spatial_shapes):
+                  pixel_mean, pixel_std, spatial_shapes, bf16: bool = True):
     """One launch for a whole window: uint8 frames are normalized on device (4x less
     host->device traffic), then backbone + encoder (bf16, fp32 islands inside the
-    deform-attn core — mirrors the reference's fp16-autocast eval) + mask head (f32)."""
-    images = ((frames_u8.astype(jnp.float32) - pixel_mean) / pixel_std
-              ).astype(jnp.bfloat16)
-    bf16_params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        {k: params[k] for k in ("backbone", "input_proj", "transformer_enc")})
-    p = dict(params, **bf16_params)
+    deform-attn core — mirrors the reference's fp16-autocast eval) + mask head (f32).
+    bf16=False runs the backbone+encoder in f32 (reference-parity testing)."""
+    images = (frames_u8.astype(jnp.float32) - pixel_mean) / pixel_std
+    p = params
+    if bf16:
+        images = images.astype(jnp.bfloat16)
+        bf16_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            {k: params[k] for k in ("backbone", "input_proj", "transformer_enc")})
+        p = dict(params, **bf16_params)
     encoded, mask_flat, _ = detr_encode(p, model_cfg, images, image_sizes)
     encoded = encoded.astype(jnp.float32)
     maskf = detr_mask_feats(params, model_cfg, encoded, spatial_shapes)
@@ -410,8 +415,10 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     def get_window(ws, we):
         if ws not in windows:
             enqueue_upload(ws, we)
-            parts = [_timed("encode_dispatch", encode_window, params, model_cfg,
-                            f, s, mean_dev, std_dev, shapes)
+            parts = [_timed("encode_dispatch",
+                            functools.partial(encode_window,
+                                              bf16=inf_cfg.bf16_encode),
+                            params, model_cfg, f, s, mean_dev, std_dev, shapes)
                      for f, s in uploads.pop(ws)]
             if len(parts) == 1:
                 windows[ws] = parts[0]
@@ -583,6 +590,74 @@ def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
 # COCO (single-image / clip) inference path (reference inference_image :486-556)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("model_cfg", "inf_cfg"))
+def _coco_device_stage(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
+                       image_u8, sizes, pixel_mean, pixel_std):
+    """ALL device work of COCO single-image inference as ONE fixed-slab jitted
+    stage (reference inference_image mdqe.py:486-556, masked fixed-shape like
+    postprocess_clip): normalize, full forward, aligned-bilinear upsample,
+    padding masked out, mask-quality rescoring, box-IoU score decay in score
+    order, multi-class expansion into a fixed top-D slab of (score, label,
+    query) with bit-packed binary masks. The previous implementation ran the
+    forward eagerly and hopped host<->device per stage — seconds per image
+    through a remote-TPU tunnel; this is a single async dispatch."""
+    from ..tracking.mask_memory import _packbits
+    from ..utils.boxes import box_iou, masks_to_boxes
+    from .detr import detr_apply_backbone
+
+    T = image_u8.shape[0]
+    norm = ((image_u8.astype(jnp.float32) - pixel_mean) / pixel_std)
+    out = detr_apply_backbone(params, model_cfg, norm, sizes, n_frames=T,
+                              training=False, is_coco=True)
+    cls = out["cls"][0].astype(jnp.float32)     # (Q, K) sigmoid
+    ct = (T - 1) // 2
+    m4 = out["masks"][0][:, ct]                 # (Q, H4, W4) logits
+    Q, K = cls.shape
+    neg = jnp.float32(-1e9)
+
+    up = aligned_bilinear(m4, inf_cfg.match_stride)          # (Q, H, W)
+    H, W = up.shape[-2], up.shape[-1]
+    h, w = sizes[0, 0], sizes[0, 1]
+    valid2d = (jnp.arange(H)[:, None] < h) & (jnp.arange(W)[None, :] < w)
+    up = jnp.where(valid2d[None], up, neg)      # padding == the reference crop
+
+    score0 = cls.max(-1)
+    keep = score0 >= jnp.minimum(inf_cfg.apply_cls_thres, score0.max())
+
+    soft = jax.nn.sigmoid(up).reshape(Q, -1)
+    hard_f = (soft > 0.5).astype(jnp.float32)
+    num = (soft * hard_f).sum(-1)
+    den = hard_f.sum(-1)
+    cls = cls * (num / (den + 1e-6))[:, None]
+
+    # box-IoU score decay among kept queries in rescored-score order
+    # (reference resorts then triu(biou, 1).max(0), mdqe.py:520-532)
+    hard2 = up > 0.0                                         # (Q, H, W)
+    boxes = masks_to_boxes(hard2)
+    biou = box_iou(boxes, boxes)[0]
+    s_rank = jnp.where(keep, cls.max(-1), neg)
+    order = jnp.argsort(-s_rank)
+    rank = jnp.argsort(order)
+    higher = (rank[None, :] < rank[:, None]) & keep[None, :]
+    max_biou = jnp.max(jnp.where(higher, biou, 0.0), axis=1)
+    cls = cls * (1 - max_biou)[:, None]
+
+    D = min(inf_cfg.coco_topk, Q * K)
+    if inf_cfg.multi_cls_on:
+        flat = jnp.where(keep[:, None] & (cls > inf_cfg.apply_cls_thres),
+                         cls, neg).reshape(-1)
+        top_s, top_i = jax.lax.top_k(flat, D)
+        qi = top_i // K
+        labels = top_i % K
+    else:
+        per_q = jnp.where(keep, cls.max(-1), neg)
+        top_s, qi = jax.lax.top_k(per_q, min(D, Q))
+        labels = cls.argmax(-1)[qi]
+    valid = top_s > neg / 2
+    packed = _packbits(hard2[qi])               # (D, H, ceil(W/8))
+    return top_s, labels, valid, packed
+
+
 def inference_image(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                     image: np.ndarray, image_size, ori_size,
                     pixel_mean=(123.675, 116.28, 103.53),
@@ -591,59 +666,35 @@ def inference_image(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     threshold, aligned-bilinear upsample, mask-quality rescoring, box-IoU soft-NMS,
     optional multi-class expansion, resize to the original size.
 
-    image: (1, Hp, Wp, 3) padded uint8 (normalization happens on device).
-    Returns dict with scores, classes, masks (n, oh, ow) bool."""
-    from ..utils.boxes import box_iou, masks_to_boxes
-    from .detr import detr_apply_backbone
+    image: (T, Hp, Wp, 3) padded uint8 (normalization happens on device).
+    Returns dict with scores, classes, masks (n, oh, ow) bool, boxes.
 
+    Deliberate deviation (like the VIS path): masks are binarized at model
+    resolution on device and nearest-resized to the original size on the host,
+    instead of the reference's bilinear-resize-then-threshold on logits
+    (mdqe.py:546-548) — differs only on sub-pixel boundary rounding."""
     sizes = jnp.asarray([list(image_size)] * image.shape[0], jnp.int32)
-    norm = ((jnp.asarray(image).astype(jnp.float32)
-             - jnp.asarray(pixel_mean, jnp.float32))
-            / jnp.asarray(pixel_std, jnp.float32))
-    out = detr_apply_backbone(params, model_cfg, norm, sizes,
-                              n_frames=image.shape[0], training=False, is_coco=True)
-    cls = np.asarray(out["cls"][0])                      # (Q, K) sigmoid
-    masks = np.asarray(out["masks"][0])                  # (Q, T, H4, W4)
-    ct = (image.shape[0] - 1) // 2
-    mask = masks[:, ct]                                  # (Q, H4, W4)
+    top_s, labels, valid, packed = _coco_device_stage(
+        params, model_cfg, inf_cfg, jnp.asarray(image), sizes,
+        jnp.asarray(pixel_mean, jnp.float32), jnp.asarray(pixel_std, jnp.float32))
+    valid = np.asarray(valid)
+    n = int(valid.sum())
+    scores = np.asarray(top_s)[:n]
+    labels = np.asarray(labels)[:n]
+    W = image.shape[2]
+    masks = np.unpackbits(np.asarray(packed)[:n], axis=-1)[..., :W].astype(bool)
+    masks = masks[:, :image_size[0], :image_size[1]]
 
-    score = cls.max(-1)
-    keep = score >= min(inf_cfg.apply_cls_thres, score.max())
-    idx = np.nonzero(keep)[0]
-    cls = cls[idx]
-    mask = mask[idx]
+    oh, ow = int(ori_size[0]), int(ori_size[1])
+    iy = np.floor(np.arange(oh) * (image_size[0] / oh)).astype(np.int64)
+    ix = np.floor(np.arange(ow) * (image_size[1] / ow)).astype(np.int64)
+    final_masks = masks[:, iy][:, :, ix] if n else np.zeros((0, oh, ow), bool)
 
-    m = jnp.asarray(mask)
-    m = aligned_bilinear(m, inf_cfg.match_stride)
-    m = np.asarray(m)[:, :image_size[0], :image_size[1]]
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        ys, xs = np.nonzero(final_masks[i])
+        if len(ys):
+            boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
 
-    soft = 1.0 / (1.0 + np.exp(-m))
-    hard = soft > 0.5
-    num = (soft * hard).reshape(len(idx), -1).sum(-1)
-    den = hard.reshape(len(idx), -1).sum(-1)
-    cls = cls * (num / (den + 1e-6))[:, None]
-
-    if len(idx) > 0:
-        order = np.argsort(-cls.max(-1))
-        cls, m = cls[order], m[order]
-        boxes = np.asarray(masks_to_boxes(jnp.asarray(m > 0)))
-        norm = np.array([image_size[1], image_size[0]] * 2)
-        biou = np.asarray(box_iou(jnp.asarray(boxes / norm),
-                                  jnp.asarray(boxes / norm))[0])
-        max_biou = np.triu(biou, k=1).max(0)
-        cls = cls * (1 - max_biou)[:, None]
-
-    if inf_cfg.multi_cls_on:
-        qi, label = np.nonzero(cls > inf_cfg.apply_cls_thres)
-        score = cls[qi, label]
-        m = m[qi]
-    else:
-        score = cls.max(-1)
-        label = cls.argmax(-1)
-
-    final = interpolate_bilinear(jnp.asarray(m), ori_size)
-    final_masks = np.asarray(final) > 0.0
-
-    return {"scores": score.tolist(), "classes": label.tolist(),
-            "masks": final_masks,
-            "boxes": np.asarray(masks_to_boxes(jnp.asarray(final_masks)))}
+    return {"scores": scores.tolist(), "classes": labels.tolist(),
+            "masks": final_masks, "boxes": boxes}

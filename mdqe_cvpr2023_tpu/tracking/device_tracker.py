@@ -214,7 +214,10 @@ def tracker_step(state, cfg: TrackerCfg, scores, cls_probs, masks, embeds, valid
     start = jnp.float32(RW) - nc.astype(jnp.float32)
     w = jnp.exp(0.25 * (s - start)) * (s >= start)
     tail_e = ring_embeds[-RW:]
-    tail_v = ring_valid[-RW:].astype(jnp.float32)
+    # reference valid_mem is a NONZERO-embed test (OverTracker.py:85), which
+    # differs from mask-validity only for the rolled window slot (whose embed
+    # is zero exactly when the row had no recent match)
+    tail_v = (tail_e != 0).any(-1).astype(jnp.float32)
     num = (tail_e * w[:, None, None]).sum(axis=0)            # (M, C)
     den = jnp.clip((tail_v * w[:, None]).sum(axis=0), 1.0, None)
     emb_new = num / den[:, None]
@@ -271,21 +274,31 @@ def tracker_window_average(state, cfg: TrackerCfg, is_last: bool):
         (state["valid_count"][:, cfg.window_frames:] > 0).astype(jnp.float32))
     new_cc = (state["clip_count_mem"] > 0).astype(jnp.float32)
 
+    # the rolled clip slot only counts for a row with valid RESIDUAL frames:
+    # the reference's get_result weights slot 0 by saved_valid[0].any(-1)
+    # (OverTracker.py:206-213), so a row whose masks ended before the window
+    # boundary contributes NEITHER its class average NOR its embedding to the
+    # next window (carrying them unconditionally skewed the next window's
+    # 0.75*mean+0.25*max class merge by up to 1.6x for such rows)
+    has_res = (state["valid_count"][:M, cfg.window_frames:] > 0).any(-1)
+    gate = row_lt & has_res
+
     ring_embeds = jnp.zeros_like(state["ring_embeds"]).at[-1].set(
         jnp.where(row_lt[:, None], emb, 0.0))
-    ring_valid = jnp.zeros_like(state["ring_valid"]).at[-1].set(
-        state["ring_valid"].any(axis=0) & row_lt)
+    ring_valid = jnp.zeros_like(state["ring_valid"]).at[-1].set(gate)
 
     new_state = {
         "logit_sum": new_ls,
         "valid_count": new_vc,
         "clip_count_mem": new_cc,
-        "embeds_mem": jnp.where(row_lt[:, None], emb, state["embeds_mem"]),
+        # reference _init_memory leaves the long-term embed memory untouched
+        # at window boundaries (it only updates on matches, :81-90)
+        "embeds_mem": state["embeds_mem"],
         "untracked": state["untracked"],
         "ring_embeds": ring_embeds,
         "ring_valid": ring_valid,
-        "cls_sum": jnp.where(row_lt[:, None], out_cls, 0.0),
-        "clip_count": jnp.where(row_lt, 1.0, 0.0),
+        "cls_sum": jnp.where(gate[:, None], out_cls, 0.0),
+        "clip_count": gate.astype(jnp.float32),
         "num_inst": num_inst,
         "num_clip": jnp.int32(1),
     }

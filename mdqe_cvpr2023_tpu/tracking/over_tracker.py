@@ -241,7 +241,9 @@ class OverTracker:
         if matched_ID:
             nc = min(self.num_clip + 1, 3, self.ring)
             emb = self.ring_embeds[-nc:][:, r]
-            vw = self.ring_valid[-nc:][:, r, None].astype(np.float32)
+            # reference valid_mem is a NONZERO-embed test (OverTracker.py:85):
+            # differs from mask-validity only for the rolled window slot
+            vw = (emb != 0).any(-1, keepdims=True).astype(np.float32)
             w = self.weights_mem[:nc].reshape(-1, 1, 1)
             denom = np.clip((vw * w).sum(0), 1.0, None)
             self.embeds_mem[r] = (emb * w).sum(0) / denom
@@ -285,12 +287,19 @@ class OverTracker:
                                                                     None)
 
         if not is_last_clip:
-            old_ring_v = self.ring_valid.copy()
+            # the rolled slot counts for a row only if it has valid RESIDUAL
+            # frames (reference weights slot 0 by saved_valid[0].any(-1),
+            # OverTracker.py:206-213); valid_count was rolled above, so its
+            # leading `roll` columns hold exactly that residual validity.
+            # embeds_mem is NOT touched at window boundaries (reference only
+            # updates it on matches, :81-90).
+            roll = self.mem_length - self.window_frames
+            has_res = np.asarray(
+                (self.valid_count[:self.num_max_inst, :roll] > 0).any(axis=1))
             self._init_host_memory(is_first=False)
-            self.clip_count[:n] = 1.0
-            self.cls_sum[:n] = out_cls
+            self.clip_count[:n] = has_res[:n].astype(np.float32)
+            self.cls_sum[:n] = out_cls * has_res[:n, None]
             self.ring_embeds[-1, :n] = emb
-            self.ring_valid[-1, :n] = old_ring_v.any(axis=0)[:n]
-            self.embeds_mem[:n] = emb
+            self.ring_valid[-1, :n] = has_res[:n]
 
         return out_cls, masks, len_frames

@@ -165,6 +165,281 @@ def load_reference_swin():
 _loaded = {}
 
 
+def _ensure_module(name):
+    if name not in sys.modules:
+        sys.modules[name] = types.ModuleType(name)
+    return sys.modules[name]
+
+
+def _install_d2_runtime_shims():
+    """Minimal detectron2 runtime for the reference's ASSEMBLED pipeline
+    (mdqe/mdqe.py + tracking/OverTracker.py): structures (ImageList, Instances,
+    Boxes, BitMasks), META_ARCH_REGISTRY, build_backbone (fed by
+    set_backbone_state), retry_if_cuda_oom, and PointRend's grid sampler
+    (faithful reimplementation of point_features.py)."""
+    import torch
+
+    if getattr(sys.modules.get("detectron2.structures"), "_mdqe_shim", False):
+        return
+
+    class Instances:
+        def __init__(self, image_size, **kwargs):
+            self._image_size = image_size
+            self._fields = {}
+            for k, v in kwargs.items():
+                self.set(k, v)
+
+        @property
+        def image_size(self):
+            return self._image_size
+
+        def __setattr__(self, name, val):
+            if name.startswith("_"):
+                super().__setattr__(name, val)
+            else:
+                self.set(name, val)
+
+        def __getattr__(self, name):
+            if name.startswith("_") or name not in self._fields:
+                raise AttributeError(name)
+            return self._fields[name]
+
+        def set(self, name, value):
+            self._fields[name] = value
+
+        def has(self, name):
+            return name in self._fields
+
+        def to(self, device):
+            out = Instances(self._image_size)
+            for k, v in self._fields.items():
+                out.set(k, v.to(device) if hasattr(v, "to") else v)
+            return out
+
+        def __len__(self):
+            for v in self._fields.values():
+                return len(v)
+            return 0
+
+        def __getitem__(self, item):
+            out = Instances(self._image_size)
+            for k, v in self._fields.items():
+                out.set(k, v[item])
+            return out
+
+    class ImageList:
+        def __init__(self, tensor, image_sizes):
+            self.tensor = tensor
+            self.image_sizes = image_sizes
+
+        @staticmethod
+        def from_tensors(tensors, size_divisibility=0):
+            image_sizes = [(int(t.shape[-2]), int(t.shape[-1]))
+                           for t in tensors]
+            mh = max(s[0] for s in image_sizes)
+            mw = max(s[1] for s in image_sizes)
+            if size_divisibility > 0:
+                d = size_divisibility
+                mh = (mh + d - 1) // d * d
+                mw = (mw + d - 1) // d * d
+            batch = tensors[0].new_zeros(len(tensors), tensors[0].shape[0],
+                                         mh, mw)
+            for i, t in enumerate(tensors):
+                batch[i, :, :t.shape[-2], :t.shape[-1]] = t
+            return ImageList(batch, image_sizes)
+
+        def __len__(self):
+            return len(self.image_sizes)
+
+    class Boxes:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+    class BitMasks:
+        def __init__(self, tensor):
+            self.tensor = tensor
+
+        def get_bounding_boxes(self):
+            n, h, w = self.tensor.shape
+            boxes = torch.zeros(n, 4, dtype=torch.float32)
+            for i in range(n):
+                ys, xs = torch.nonzero(self.tensor[i], as_tuple=True)
+                if len(ys) > 0:
+                    boxes[i] = torch.as_tensor(
+                        [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                        dtype=torch.float32)
+            return Boxes(boxes)
+
+    structures = _ensure_module("detectron2.structures")
+    structures.Instances = Instances
+    structures.ImageList = ImageList
+    structures.Boxes = Boxes
+    structures.BitMasks = BitMasks
+    structures._mdqe_shim = True
+
+    d2 = _ensure_module("detectron2")
+    d2.structures = structures
+
+    class _Registry:
+        def register(self, *a, **k):
+            def deco(f):
+                return f
+            return deco(a[0]) if a and callable(a[0]) else deco
+
+    _backbone_state = {}
+
+    def set_backbone_state(state):
+        """state: dict of D2-named R50 tensors (numpy), e.g. 'stem.conv1.weight'."""
+        _backbone_state.clear()
+        _backbone_state.update({k: torch.from_numpy(v) for k, v in state.items()})
+
+    class _ShapeSpec:
+        def __init__(self, channels, stride):
+            self.channels, self.stride = channels, stride
+
+    class FakeD2ResNet50(torch.nn.Module):
+        """Functional D2-convention R50 (FrozenBN eval math, stride_in_1x1=False)
+        over the tensors installed via set_backbone_state. Weights deliberately
+        NOT registered: the oracle's state dict for the converter is assembled
+        from the same raw dict."""
+
+        BLOCKS = {"res2": (3, 1), "res3": (4, 2), "res4": (6, 2), "res5": (3, 2)}
+
+        def output_shape(self):
+            return {"res3": _ShapeSpec(512, 8), "res4": _ShapeSpec(1024, 16),
+                    "res5": _ShapeSpec(2048, 32)}
+
+        def _conv_bn(self, name, x, stride=1, padding=0, eps=1e-5):
+            import torch.nn.functional as F
+            st = _backbone_state
+            y = F.conv2d(x, st[name + ".weight"], stride=stride, padding=padding)
+            w = st[name + ".norm.weight"]
+            b = st[name + ".norm.bias"]
+            m = st[name + ".norm.running_mean"]
+            v = st[name + ".norm.running_var"]
+            scale = w / torch.sqrt(v + eps)
+            return (y * scale[None, :, None, None]
+                    + (b - m * scale)[None, :, None, None])
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            y = F.relu(self._conv_bn("stem.conv1", x, stride=2, padding=3))
+            y = F.max_pool2d(y, kernel_size=3, stride=2, padding=1)
+            feats = {}
+            for stage, (n, stride) in self.BLOCKS.items():
+                for i in range(n):
+                    s = stride if i == 0 else 1
+                    sc = (self._conv_bn(f"{stage}.{i}.shortcut", y, stride=s)
+                          if i == 0 else y)
+                    h = F.relu(self._conv_bn(f"{stage}.{i}.conv1", y))
+                    h = F.relu(self._conv_bn(f"{stage}.{i}.conv2", h, stride=s,
+                                             padding=1))
+                    h = self._conv_bn(f"{stage}.{i}.conv3", h)
+                    y = F.relu(h + sc)
+                if stage != "res2":
+                    feats[stage] = y
+            return feats
+
+    modeling = _ensure_module("detectron2.modeling")
+    modeling.META_ARCH_REGISTRY = _Registry()
+    modeling.build_backbone = lambda cfg: FakeD2ResNet50()
+    d2.modeling = modeling
+
+    memory_m = _ensure_module("detectron2.utils.memory")
+    memory_m.retry_if_cuda_oom = lambda fn: fn
+    utils_m = _ensure_module("detectron2.utils")
+    utils_m.memory = memory_m
+    d2.utils = utils_m
+
+    def get_uncertain_point_coords_on_grid(uncertainty_map, num_points):
+        """PointRend point_features.py: top-k uncertainty points on the HxW
+        grid, returned as (indices, normalized xy coords at pixel centers)."""
+        R, _, H, W = uncertainty_map.shape
+        h_step, w_step = 1.0 / H, 1.0 / W
+        num_points = min(H * W, num_points)
+        point_indices = torch.topk(uncertainty_map.view(R, H * W),
+                                   k=num_points, dim=1)[1]
+        point_coords = torch.zeros(R, num_points, 2, dtype=torch.float,
+                                   device=uncertainty_map.device)
+        point_coords[:, :, 0] = w_step / 2.0 + (point_indices % W).float() * w_step
+        point_coords[:, :, 1] = h_step / 2.0 + (point_indices // W).float() * h_step
+        return point_indices, point_coords
+
+    pf = _ensure_module("detectron2.projects.point_rend.point_features")
+    pf.get_uncertain_point_coords_on_grid = get_uncertain_point_coords_on_grid
+    pr = _ensure_module("detectron2.projects.point_rend")
+    pr.point_features = pf
+    projects = _ensure_module("detectron2.projects")
+    projects.point_rend = pr
+    d2.projects = projects
+
+    # mdqe/models/backbone.py imports torchvision.models._utils (vestigial path)
+    tvm = _ensure_module("torchvision.models")
+    tvmu = _ensure_module("torchvision.models._utils")
+
+    class IntermediateLayerGetter:  # never instantiated by the oracle
+        def __init__(self, *a, **k):
+            raise NotImplementedError
+
+    tvmu.IntermediateLayerGetter = IntermediateLayerGetter
+    tvm._utils = tvmu
+    if "torchvision" in sys.modules:
+        sys.modules["torchvision"].models = tvm
+
+    _loaded["set_backbone_state"] = set_backbone_state
+
+
+def load_reference_full():
+    """Loads the reference's full MDQE meta-architecture + OverTracker with all
+    runtime shims installed. Returns a namespace:
+    MDQE (class), OverTracker, Clips, set_backbone_state(state_dict)."""
+    if "full" in _loaded:
+        return _loaded["full"]
+    ns_models = load_reference_models()
+    _install_d2_runtime_shims()
+
+    models_pkg = sys.modules["refmdqe.models"]
+    inner = _load_mod("refmdqe.models.mdqe", REF_ROOT + "/mdqe/models/mdqe.py")
+    matcher = _load_mod("refmdqe.models.matcher",
+                        REF_ROOT + "/mdqe/models/matcher.py")
+    criterion = _load_mod("refmdqe.models.criterion",
+                          REF_ROOT + "/mdqe/models/criterion.py")
+    backbone = _load_mod("refmdqe.models.backbone",
+                         REF_ROOT + "/mdqe/models/backbone.py")
+    posenc = _load_mod("refmdqe.models.position_encoding",
+                       REF_ROOT + "/mdqe/models/position_encoding.py")
+    # `from .models import mdqe, SetCriterion, ...` resolves via pkg attributes
+    models_pkg.mdqe = inner.mdqe
+    models_pkg.SetCriterion = criterion.SetCriterion
+    models_pkg.HungarianMatcher = matcher.HungarianMatcher
+    models_pkg.ClipPeakMatcher = matcher.ClipPeakMatcher
+    models_pkg.Transformer_Enc = ns_models.Transformer_Enc
+    models_pkg.Transformer_Dec = ns_models.Transformer_Dec
+    models_pkg.backbone = backbone
+    models_pkg.position_encoding = posenc
+
+    tracking_pkg = types.ModuleType("refmdqe.tracking")
+    tracking_pkg.__path__ = [REF_ROOT + "/mdqe/tracking"]
+    sys.modules["refmdqe.tracking"] = tracking_pkg
+    overtracker = _load_mod("refmdqe.tracking.OverTracker",
+                            REF_ROOT + "/mdqe/tracking/OverTracker.py")
+    tracking_pkg.Clips = overtracker.Clips
+    tracking_pkg.OverTracker = overtracker.OverTracker
+
+    meta = _load_mod("refmdqe.mdqe", REF_ROOT + "/mdqe/mdqe.py")
+    full = types.SimpleNamespace(
+        MDQE=meta.MDQE,
+        OverTracker=overtracker.OverTracker,
+        Clips=overtracker.Clips,
+        HungarianMatcher=matcher.HungarianMatcher,
+        ClipPeakMatcher=matcher.ClipPeakMatcher,
+        SetCriterion=criterion.SetCriterion,
+        set_backbone_state=_loaded["set_backbone_state"],
+    )
+    _loaded["full"] = full
+    return full
+
+
 def load_reference_models():
     """Returns a namespace with the reference torch modules:
     MSDeformAttn, Transformer_Enc, Transformer_Dec, MaskHead, misc, box_ops."""

@@ -1,0 +1,201 @@
+"""Training-side oracle parity: the reference `HungarianMatcher` (dynamic-k
+one-to-many) and `SetCriterion`'s hungarian losses (/root/reference/mdqe/models/
+matcher.py:147-235, criterion.py:340-473) loaded as pure-torch oracles, fed
+IDENTICAL (outputs, targets), against our fixed-shape matcher and
+`_hungarian_layer_losses` — matched indices and every loss-dict entry, across
+seeds, interinst repulsion on/off, T=1 pseudo-clips and degenerate boxes.
+
+The query-init reid loss is NOT numerically comparable (the reference samples
+positives/negatives with torch.randperm; ours uses masked top-k over random
+priorities — same distribution, different streams) and is covered by its own
+invariant tests."""
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_AVAILABLE = os.path.isdir("/root/reference/mdqe")
+pytestmark = pytest.mark.skipif(not REF_AVAILABLE,
+                                reason="reference repo not mounted")
+
+if REF_AVAILABLE:
+    from ref_oracle import load_reference_full
+
+B, Q, K, M = 2, 16, 7, 8
+H4, W4 = 16, 24
+N_MAX = 4
+
+
+def _rand_outputs(rng, T):
+    cls = rng.standard_normal((B, Q, K)).astype(np.float32) * 2.0
+    cxy = rng.uniform(0.15, 0.85, (B, Q, T, 2))
+    wh = rng.uniform(0.08, 0.5, (B, Q, T, 2))
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).clip(0, 1)
+    coeff = rng.standard_normal((B, Q, M)).astype(np.float32)
+    proto = rng.standard_normal((B, T, H4, W4, M)).astype(np.float32)
+    return cls, boxes.astype(np.float32), coeff, proto
+
+
+def _rand_targets(rng, T, n_insts=(2, 3), degenerate=False):
+    """Returns (ref_targets list of dicts, padded dict for our criterion)."""
+    ref_targets = []
+    pad_valid = np.zeros((B, N_MAX), bool)
+    pad_labels = np.zeros((B, N_MAX), np.int32)
+    pad_boxes = np.zeros((B, N_MAX, T, 4), np.float32)
+    pad_masks = np.zeros((B, N_MAX, T, H4, W4), np.float32)
+    for b in range(B):
+        n = n_insts[b]
+        labels = rng.integers(0, K, n)
+        cxy = rng.uniform(0.2, 0.8, (n, T, 2))
+        wh = rng.uniform(0.1, 0.45, (n, T, 2))
+        boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).clip(0, 1)
+        if degenerate and n > 1:
+            boxes[1, 0] = [0.3, 0.3, 0.3, 0.3]  # zero-area frame box
+        masks = np.zeros((n, T, H4, W4), np.float32)
+        for i in range(n):
+            for t in range(T):
+                x0, y0, x1, y1 = boxes[i, t]
+                masks[i, t, int(y0 * H4):max(int(y1 * H4), int(y0 * H4) + 2),
+                      int(x0 * W4):max(int(x1 * W4), int(x0 * W4) + 2)] = 1.0
+        ref_targets.append({
+            "labels": torch.as_tensor(labels, dtype=torch.int64),
+            "boxes": torch.as_tensor(boxes, dtype=torch.float32),
+            "match_masks": torch.as_tensor(masks, dtype=torch.float32),
+        })
+        pad_valid[b, :n] = True
+        pad_labels[b, :n] = labels
+        pad_boxes[b, :n] = boxes
+        pad_masks[b, :n] = masks
+    ours = {"valid": pad_valid, "labels": pad_labels, "boxes": pad_boxes,
+            "match_masks": pad_masks.reshape(B, N_MAX, T, H4, W4),
+            "ids": np.zeros((B, N_MAX, T), np.int32)}
+    return ref_targets, ours
+
+
+def _ref_modules(interinst, T):
+    ref = load_reference_full()
+    matcher = ref.HungarianMatcher(cost_class=1, cost_box=2, cost_dice=4,
+                                   num_classes=K)
+    criterion = ref.SetCriterion(
+        num_classes=K, matcher=matcher, weight_dict={}, eos_coef=1.0,
+        n_frames=T, n_queries=Q, window_inter_frame_asso=5,
+        interinst_mask_loss_enabled=interinst, interinst_mask_threshold=0.1)
+    return matcher, criterion
+
+
+def _our_cfg(interinst, T):
+    from mdqe_cvpr2023_tpu.losses import CriterionCfg
+    return CriterionCfg(num_classes=K, eos_coef=1.0, n_frames=T, n_query=Q,
+                        interinst_enabled=interinst)
+
+
+def _ref_losses(criterion, matcher, cls, boxes, coeff, proto, ref_targets):
+    """One layer's matcher indices + unweighted loss dict from the oracle."""
+    proto_t = torch.from_numpy(np.moveaxis(proto, -1, 1))  # (B, M, T, H, W)
+    out = {"cls": torch.from_numpy(cls), "boxes": torch.from_numpy(boxes),
+           "mask_coeff": torch.from_numpy(coeff), "proto": proto_t}
+    with torch.no_grad():
+        indices = matcher(out, ref_targets)
+        num_masks = max(sum(len(i) for (_, i) in indices), 1)
+        losses = criterion.get_loss(out, ref_targets, indices, float(num_masks))
+    return indices, {k: float(v) for k, v in losses.items()}
+
+
+def _our_losses(cfg, cls, boxes, coeff, proto, our_targets):
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.losses.criterion import _hungarian_layer_losses
+    tgt = {k: jnp.asarray(v) for k, v in our_targets.items()}
+    ld = _hungarian_layer_losses(cfg, jnp.asarray(cls), jnp.asarray(boxes),
+                                 jnp.asarray(coeff), jnp.asarray(proto), tgt)
+    return {k: float(v) for k, v in ld.items()}
+
+
+def _our_assignment(cls, boxes, coeff, proto, our_targets):
+    import jax
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.losses.matcher import (dynamic_k_matching,
+                                                  hungarian_match_costs)
+    As = []
+    for b in range(B):
+        prob = jax.nn.sigmoid(jnp.asarray(cls[b]))
+        om = jnp.einsum("qm,thwm->qthw", jnp.asarray(coeff[b]),
+                        jnp.asarray(proto[b]))
+        cost, giou = hungarian_match_costs(
+            prob, jnp.asarray(boxes[b]), om,
+            jnp.asarray(our_targets["labels"][b]),
+            jnp.asarray(our_targets["boxes"][b]),
+            jnp.asarray(our_targets["match_masks"][b]),
+            jnp.asarray(our_targets["valid"][b]))
+        As.append(np.asarray(dynamic_k_matching(
+            cost, giou, jnp.asarray(our_targets["valid"][b]))))
+    return As
+
+
+def _check_indices(indices, As):
+    for b, ((src, tgt), A) in enumerate(zip(indices, As)):
+        ref_pairs = set(zip(src.tolist(), tgt.tolist()))
+        our_pairs = set(zip(*np.nonzero(A > 0.5)))
+        assert ref_pairs == our_pairs, \
+            f"video {b}: matched pairs {sorted(our_pairs)} vs " \
+            f"reference {sorted(ref_pairs)}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("interinst", [True, False])
+def test_matcher_and_losses_parity(seed, interinst):
+    T = 3
+    rng = np.random.default_rng(seed)
+    cls, boxes, coeff, proto = _rand_outputs(rng, T)
+    ref_targets, our_targets = _rand_targets(rng, T)
+    matcher, criterion = _ref_modules(interinst, T)
+
+    indices, ref_l = _ref_losses(criterion, matcher, cls, boxes, coeff, proto,
+                                 ref_targets)
+    As = _our_assignment(cls, boxes, coeff, proto, our_targets)
+    _check_indices(indices, As)
+
+    our_l = _our_losses(_our_cfg(interinst, T), cls, boxes, coeff, proto,
+                        our_targets)
+    for k in ("loss_cls", "loss_bbox", "loss_giou", "loss_mask", "loss_dice"):
+        np.testing.assert_allclose(our_l[k], ref_l[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=f"{k} (interinst={interinst})")
+
+
+def test_matcher_and_losses_parity_t1_pseudo_clip():
+    """T=1 (COCO pseudo-clip) degenerates video-IoU/L1 to the image case."""
+    T = 1
+    rng = np.random.default_rng(7)
+    cls, boxes, coeff, proto = _rand_outputs(rng, T)
+    ref_targets, our_targets = _rand_targets(rng, T)
+    matcher, criterion = _ref_modules(True, T)
+
+    indices, ref_l = _ref_losses(criterion, matcher, cls, boxes, coeff, proto,
+                                 ref_targets)
+    As = _our_assignment(cls, boxes, coeff, proto, our_targets)
+    _check_indices(indices, As)
+    our_l = _our_losses(_our_cfg(True, T), cls, boxes, coeff, proto,
+                        our_targets)
+    for k in ("loss_cls", "loss_bbox", "loss_giou", "loss_mask", "loss_dice"):
+        np.testing.assert_allclose(our_l[k], ref_l[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
+
+
+def test_matcher_and_losses_parity_degenerate_boxes():
+    """A zero-area GT frame box must be excluded from L1/GIoU identically."""
+    T = 3
+    rng = np.random.default_rng(9)
+    cls, boxes, coeff, proto = _rand_outputs(rng, T)
+    ref_targets, our_targets = _rand_targets(rng, T, degenerate=True)
+    matcher, criterion = _ref_modules(True, T)
+
+    indices, ref_l = _ref_losses(criterion, matcher, cls, boxes, coeff, proto,
+                                 ref_targets)
+    As = _our_assignment(cls, boxes, coeff, proto, our_targets)
+    _check_indices(indices, As)
+    our_l = _our_losses(_our_cfg(True, T), cls, boxes, coeff, proto,
+                        our_targets)
+    for k in ("loss_cls", "loss_bbox", "loss_giou", "loss_mask", "loss_dice"):
+        np.testing.assert_allclose(our_l[k], ref_l[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)

@@ -32,8 +32,14 @@ def parse_args():
 
 def main():
     args = parse_args()
+    import jax
+    # honor an explicit JAX_PLATFORMS even when the interpreter's sitecustomize
+    # imported jax first and pinned another platform (env alone is then too
+    # late — it must be re-applied via jax.config before any array exists)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     if int(os.environ.get("JAX_PROCESS_COUNT", "1")) > 1:
-        import jax
         jax.distributed.initialize()
 
     from mdqe_cvpr2023_tpu.engine import load_config
