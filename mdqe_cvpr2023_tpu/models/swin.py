@@ -114,9 +114,13 @@ def _window_attention(p, x, win: Tuple[int, int], num_heads: int, mask=None):
         attn = attn.reshape(B_ // nW, nW, num_heads, N, N) + mask[None, :, None]
         attn = attn.reshape(B_, num_heads, N, N)
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
     out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
-    return fnn.linear(p["proj"], out)
+    # the CPB table/bias are strong f32, which silently promoted the whole
+    # block under bf16 params; attention logits/softmax stay f32 (AMP-style
+    # islands), the value matmul and everything after return to the
+    # activation dtype
+    return fnn.linear(p["proj"], out.astype(x.dtype))
 
 
 def _block(p, x, H, W, win: int, shift: int, num_heads: int):

@@ -25,15 +25,25 @@ def main():
                                                   make_train_step)
 
     B = int(os.environ.get("TRAIN_BENCH_BATCH", 2))  # per-chip clips
-    T = 4
-    Hp, Wp = 512, 800   # largest train bucket (MIN_SIZE_TRAIN max=512, MAX=800)
+    backbone = os.environ.get("TRAIN_BENCH_BACKBONE", "r50")
+    if backbone == "swinl":
+        # configs/swinl_ovis.yaml training geometry: f2 clips, largest bucket
+        # MIN_SIZE_TRAIN max 736 / MAX_SIZE_TRAIN 1024
+        T, Hp, Wp, bb = 2, 736, 1024, "swin_large"
+    else:
+        T, Hp, Wp, bb = 4, 512, 800, "resnet50"  # R50_ovis_360 largest bucket
     N = 20              # instance slab (MAX_NUM_INSTANCES // 6)
 
-    cfg = MDQEModelCfg(backbone="resnet50", num_classes=25, hidden_dim=256,
+    cfg = MDQEModelCfg(backbone=bb, num_classes=25, hidden_dim=256,
                        n_heads=8, enc_layers=6, dec_layers=6, n_frames=T,
                        n_query=196, query_embed_dim=64, dec_temporal=True)
     crit = CriterionCfg(num_classes=25, n_frames=T, n_query=196)
-    params = detr_init(jax.random.PRNGKey(0), cfg)
+    from bench import _load_or_init_params
+    from mdqe_cvpr2023_tpu.utils.compile_cache import enable as enable_cache
+    params = _load_or_init_params(jax, cfg, detr_init)  # CPU-jitted init, cached
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
+    enable_cache()  # persistent TPU compile cache (never for the CPU init)
     tx = make_optimizer(TrainCfg())
     opt_state = tx.init(params)
     step = make_train_step(cfg, crit, tx)
@@ -66,10 +76,25 @@ def main():
                                            jax.random.fold_in(key, i))
     np.asarray(total)
     dt = (time.perf_counter() - t0) / K
+
+    # MFU: XLA's own flop count for the COMPILED step / time / chip peak
+    # (v5e: 197 TFLOP/s bf16). The step runs largely f32, so this is the
+    # honest lower bound against the marketing peak.
+    flops = 0.0
+    try:
+        ca = step.lower(params, opt_state, batch, key).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        pass
+    peak = 197e12
     print(json.dumps({
-        "metric": "train_step_sec_per_iter_r50_f4_512x800",
+        "metric": f"train_step_sec_per_iter_{backbone}_f{T}_{Hp}x{Wp}",
         "batch_per_chip": B, "value": round(dt, 3), "unit": "s/iter",
         "clips_per_sec_train": round(B / dt, 2),
+        "tflops_per_step": round(flops / 1e12, 2),
+        "achieved_tflops_per_s": round(flops / dt / 1e12, 2),
+        "mfu_vs_v5e_bf16_peak": round(flops / dt / peak, 4),
     }))
 
 
