@@ -142,6 +142,127 @@ def _check_indices(indices, As):
             f"reference {sorted(ref_pairs)}"
 
 
+# ---------------------------------------------------------------------------
+# ClipPeakMatcher + query-init semantic loss (reference matcher.py:238-337,
+# criterion.py:196-236 + 501-538)
+# ---------------------------------------------------------------------------
+
+def _rand_peak_targets(rng, T, H, W, n=4):
+    """Stride-8-resolution targets: overlapping boxes with DISTINCT areas (the
+    reference area-sort is the tie-breaker), some ids==-1 frames (instance
+    absent), one all-invalid padding slot."""
+    P = H * W
+    labels = rng.integers(0, K, n)
+    cxy = rng.uniform(0.25, 0.75, (n, T, 2))
+    # distinct mean areas so torch .sort() and argsort agree deterministically
+    wh = rng.uniform(0.15, 0.55, (n, T, 2)) * (0.5 + 0.17 * np.arange(n))[:, None, None]
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).clip(0, 1)
+    ids = np.tile(np.arange(n)[:, None], (1, T)).astype(np.int64)
+    ids[0, T - 1] = -1                       # instance 0 absent in last frame
+    masks = np.zeros((n, T, H, W), np.float32)
+    for i in range(n):
+        for t in range(T):
+            x0, y0, x1, y1 = boxes[i, t]
+            masks[i, t, int(y0 * H):max(int(y1 * H), int(y0 * H) + 2),
+                  int(x0 * W):max(int(x1 * W), int(x0 * W) + 2)] = 1.0
+    masks[1, 0] = 0.0                        # empty mask → nearest-pixel fallback
+    valid = np.ones(n, bool)
+    return labels, boxes.astype(np.float32), ids, masks, valid
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_clip_peak_matcher_parity(seed):
+    """Per-pixel GT assignment: labels/ids exactly equal, dist weights close."""
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.losses.matcher import clip_peak_match
+    from mdqe_cvpr2023_tpu.utils.misc import make_reference_points
+
+    T, H, W = 3, 12, 18
+    rng = np.random.default_rng(seed)
+    labels, boxes, ids, masks, valid = _rand_peak_targets(rng, T, H, W)
+
+    ref = load_reference_full()
+    ref_m = ref.ClipPeakMatcher(num_frames=T, num_classes=K, mask_on=True)
+    ref_points = np.asarray(make_reference_points((H, W)), np.float32)
+    with torch.no_grad():
+        r_lab, r_dist, r_ids = ref_m(
+            [{"labels": torch.as_tensor(labels), "boxes": torch.as_tensor(boxes),
+              "ids": torch.as_tensor(ids), "masks": torch.as_tensor(masks)}],
+            torch.as_tensor(ref_points), (H, W))
+
+    o_lab, o_dist, o_ids = clip_peak_match(
+        jnp.asarray(labels, jnp.int32), jnp.asarray(boxes),
+        jnp.asarray(ids, jnp.int32),
+        jnp.asarray(masks.reshape(masks.shape[0], T, H * W) > 0.5),
+        jnp.asarray(valid), jnp.asarray(ref_points), K)
+
+    np.testing.assert_array_equal(np.asarray(o_lab), r_lab[0].numpy())
+    np.testing.assert_array_equal(np.asarray(o_ids), r_ids[0].numpy())
+    np.testing.assert_allclose(np.asarray(o_dist), r_dist[0].numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("subset_points", [False, True])
+def test_query_init_sem_loss_parity(subset_points):
+    """Point-sampled weighted focal on the stride-8 class map, through our real
+    `_query_init_losses` path vs the reference `loss_labels_query_init`
+    (criterion.py:501-538). subset_points exercises top-k uncertainty
+    selection (k < H*W); otherwise all points are taken (order-invariant)."""
+    import jax
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.losses.criterion import _query_init_losses
+    from mdqe_cvpr2023_tpu.models.decoder import query_relpos_grid
+    from mdqe_cvpr2023_tpu.utils.misc import make_reference_points
+
+    T, H, W, nb = 3, 12, 18, 4
+    P = H * W
+    n_pts = P // 3 if subset_points else P
+    rng = np.random.default_rng(11)
+    rpn_logits = rng.standard_normal((B, T, H, W, K)).astype(np.float32) * 2.0
+
+    ref = load_reference_full()
+    ref_m = ref.ClipPeakMatcher(num_frames=T, num_classes=K, mask_on=True)
+    _, criterion = _ref_modules(True, T)
+    criterion.num_points = n_pts
+    ref_points = np.asarray(make_reference_points((H, W)), np.float32)
+
+    ref_targets, labels_np, boxes_np, ids_np, masks_np, valid_np = [], [], [], [], [], []
+    for b in range(B):
+        lab, box, ids, msk, val = _rand_peak_targets(rng, T, H, W)
+        ref_targets.append({"labels": torch.as_tensor(lab),
+                            "boxes": torch.as_tensor(box),
+                            "ids": torch.as_tensor(ids),
+                            "masks": torch.as_tensor(msk)})
+        labels_np.append(lab); boxes_np.append(box); ids_np.append(ids)
+        masks_np.append(msk); valid_np.append(val)
+
+    with torch.no_grad():
+        tgt_matched = ref_m(ref_targets, torch.as_tensor(ref_points), (H, W))
+        ref_sem = float(criterion.loss_labels_query_init(
+            torch.from_numpy(rpn_logits), tgt_matched[0], tgt_matched[1]))
+
+    cfg = _our_cfg(True, T)
+    cfg = type(cfg)(**{**cfg.__dict__, "num_points": n_pts, "n_query": nb * nb})
+    N = len(labels_np[0])
+    our_targets = {
+        "labels": jnp.asarray(np.stack(labels_np), jnp.int32),
+        "boxes": jnp.asarray(np.stack(boxes_np)),
+        "ids": jnp.asarray(np.stack(ids_np), jnp.int32),
+        "masks8": jnp.asarray(np.stack(masks_np).reshape(B, N, T, P) > 0.5),
+        "valid": jnp.asarray(np.stack(valid_np)),
+    }
+    # dummy embeds/coords: only the sem loss is compared here (the reid loss
+    # draws its own random pos/neg samples — covered by invariant tests)
+    emb = jnp.zeros((B * T, nb * nb, 8), jnp.float32)
+    coords = jnp.zeros((B * T, nb, nb, 2), jnp.float32)
+    relpos = jnp.asarray(query_relpos_grid(nb))
+    ld = _query_init_losses(cfg, jnp.asarray(rpn_logits).reshape(B * T, H, W, K),
+                            emb, coords, our_targets, relpos,
+                            jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(ld["loss_sem_cls_query_init"]), ref_sem,
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
 @pytest.mark.parametrize("interinst", [True, False])
 def test_matcher_and_losses_parity(seed, interinst):
