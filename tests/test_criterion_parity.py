@@ -202,7 +202,8 @@ def test_clip_peak_matcher_parity(seed):
                                rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("subset_points", [False, True])
+@pytest.mark.parametrize("subset_points", [
+    pytest.param(False, marks=pytest.mark.slow), True])
 def test_query_init_sem_loss_parity(subset_points):
     """Point-sampled weighted focal on the stride-8 class map, through our real
     `_query_init_losses` path vs the reference `loss_labels_query_init`
@@ -263,7 +264,8 @@ def test_query_init_sem_loss_parity(subset_points):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("seed", [0] + [
+    pytest.param(s, marks=pytest.mark.slow) for s in (1, 2, 3, 4)])
 @pytest.mark.parametrize("interinst", [True, False])
 def test_matcher_and_losses_parity(seed, interinst):
     T = 3

@@ -66,6 +66,7 @@ def test_backward_interpret_matches_xla_vjp(seed):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow  # interpret-mode backward already covered per-seed above
 def test_backward_through_custom_vjp_api():
     """jax.grad through ms_deform_attn_pallas uses the Pallas backward when
     interpret mode is on (exercises the defvjp wiring end-to-end)."""

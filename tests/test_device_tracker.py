@@ -36,7 +36,11 @@ def _make_clip(rng, pool_masks, pool_embeds, frame_idx):
                        valid=valid)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [
+    0,
+    pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow),
+])
 def test_device_tracker_matches_host(seed):
     rng = np.random.default_rng(seed)
     # instance pool: separated box masks + distinct embeddings

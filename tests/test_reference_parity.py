@@ -99,6 +99,7 @@ def _sine_pos(shapes, dim, BT):
     return pos
 
 
+@pytest.mark.slow  # heaviest oracle test; spatial/decoder parity stays fast
 def test_encoder_parity():
     ref = load_reference_models()
     torch.manual_seed(2)
