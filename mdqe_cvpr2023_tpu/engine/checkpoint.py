@@ -29,6 +29,9 @@ _SKIP = (
     "pixel_mean",
     "pixel_std",
     "criterion.",
+    # Swin window-attention index/coordinate buffers (recomputed from shapes)
+    "relative_position_index",
+    "relative_coords_table",
 )
 
 

@@ -73,6 +73,7 @@ def get_default_config() -> CfgNode:
             "SWIN": {"TYPE": "large", "PRETRAIN_IMG_SIZE": 384, "PATCH_SIZE": 4,
                      "EMBED_DIM": 192, "DEPTHS": [2, 2, 18, 2],
                      "NUM_HEADS": [6, 12, 24, 48], "WINDOW_SIZE": 12,
+                     "DROP_PATH_RATE": 0.2, "APE": False,
                      "OUT_FEATURES": ["stage3", "stage4", "stage5"]},
             "MDQE": {
                 "NUM_CLASSES": 80,

@@ -128,9 +128,11 @@ def padding_masks(image_sizes, padded_hw: Tuple[int, int], strides: Sequence[int
     return masks
 
 
-def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes):
+def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes,
+                           rng=None):
     """images (BT,Hp,Wp,3) normalized NHWC; image_sizes (BT,2).
-    Returns (srcs, masks, pos): per-level projected features, padding masks, sine pos."""
+    Returns (srcs, masks, pos): per-level projected features, padding masks, sine pos.
+    rng != None enables Swin stochastic depth (training)."""
     # remat the backbone for backward: its stem/res2 activations are ~GBs at
     # train geometry and storing them contributes to HBM spilling; recomputing
     # the whole backbone costs a few ms (free under eval-only jits)
@@ -139,9 +141,14 @@ def detr_backbone_features(params, cfg: MDQEModelCfg, images, image_sizes):
         feat_list = [feats["res3"], feats["res4"], feats["res5"]]
     else:
         from .swin import swin_apply
-        feat_list = jax.checkpoint(
-            lambda p, x: swin_apply(p, x, cfg.swin_cfg))(params["backbone"],
-                                                         images)
+        if rng is None:
+            feat_list = jax.checkpoint(
+                lambda p, x: swin_apply(p, x, cfg.swin_cfg))(params["backbone"],
+                                                             images)
+        else:
+            feat_list = jax.checkpoint(
+                lambda p, x, r: swin_apply(p, x, cfg.swin_cfg, rng=r))(
+                    params["backbone"], images, rng)
 
     strides = list(cfg.feature_strides)
     extra_levels = cfg.n_feature_levels - len(feat_list)
@@ -168,7 +175,9 @@ def detr_encode(params, cfg: MDQEModelCfg, images, image_sizes, drop_rate=0.0,
                 rng=None):
     """backbone + input projections + deformable encoder for a (window of) frames.
     Returns (encoded (BT,N,C), mask_flat (BT,N), spatial_shapes)."""
-    srcs, masks, pos = detr_backbone_features(params, cfg, images, image_sizes)
+    bb_rng = jax.random.fold_in(rng, 17) if rng is not None else None
+    srcs, masks, pos = detr_backbone_features(params, cfg, images, image_sizes,
+                                              bb_rng)
     encoded = encoder_apply(params["transformer_enc"], cfg.encoder_cfg, srcs, masks,
                             pos, drop_rate, rng)
     _, mask_flat, _, spatial_shapes = flatten_levels(srcs, masks, None)

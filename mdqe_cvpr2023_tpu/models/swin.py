@@ -1,11 +1,22 @@
-"""SwinV2 backbone (Large), NHWC, torch-convention weights.
+"""Swin backbone (v2 default, v1 selectable), NHWC, torch-convention weights.
 
-Behavioral spec: /root/reference/mdqe/backbone/swin_transformer_v2.py:482-727 —
+Behavioral spec, v2: /root/reference/mdqe/backbone/swin_transformer_v2.py:482-727 —
 cosine window attention with clamped learned logit scale (:161-164), continuous
 position bias MLP on log-scaled relative coords (:100-120), q/v-only bias (:136-141),
 shifted windows with cyclic roll + cross-window masking, PatchMerging, post-norm
 blocks (x = shortcut + norm1(attn(x))), per-stage output LayerNorms, last stage uses
 window_size // 2 (:562).
+
+Behavioral spec, v1: /root/reference/mdqe/backbone/swin_transformer.py:440-683 —
+pre-norm blocks (x = shortcut + attn(norm1(x))), scaled dot-product attention with a
+learned relative-position-bias table (:94-134), full qkv bias, PatchMerging with norm
+BEFORE reduction (:255-291), constant window size across stages (:330).
+APE (absolute position embedding, off in every reference preset,
+backbone/config.py:16,34,52,70) is not implemented.
+
+Training-time stochastic depth (timm DropPath, reference v1 :228 / v2 :287-288,
+rate linearly spaced 0 -> drop_path_rate over all blocks) applies when an rng is
+passed; eval (rng=None) is deterministic.
 
 Param tree mirrors the torch names (patch_embed.proj, layers.{i}.blocks.{j}.attn.*,
 layers.{i}.downsample.*, norm{i}) so released checkpoints (prefixed
@@ -34,12 +45,25 @@ class SwinCfg:
     mlp_ratio: float = 4.0
     patch_size: int = 4
     out_stages: Tuple[int, ...] = (1, 2, 3)  # stage3..5 = strides 8/16/32
+    version: int = 2           # 1 = swin_transformer.py, 2 = swin_transformer_v2.py
+    drop_path_rate: float = 0.0  # reference configs train with 0.2
 
     def stage_dim(self, i):
         return self.embed_dim * 2 ** i
 
     def stage_window(self, i):
+        if self.version == 1:  # v1 keeps one window size (swin_transformer.py:330)
+            return self.window_size
         return self.window_size // 2 if i == len(self.depths) - 1 else self.window_size
+
+    def block_drop_path(self, i, j):
+        """Linearly spaced stochastic-depth rate for block j of stage i
+        (reference v2 :536-537: linspace over sum(depths))."""
+        total = sum(self.depths)
+        if total <= 1 or self.drop_path_rate <= 0.0:
+            return 0.0
+        idx = sum(self.depths[:i]) + j
+        return self.drop_path_rate * idx / (total - 1)
 
 
 @lru_cache(maxsize=None)
@@ -123,10 +147,41 @@ def _window_attention(p, x, win: Tuple[int, int], num_heads: int, mask=None):
     return fnn.linear(p["proj"], out.astype(x.dtype))
 
 
-def _block(p, x, H, W, win: int, shift: int, num_heads: int):
-    """Post-norm SwinV2 block on (B, H, W, C)."""
+def _window_attention_v1(p, x, win: Tuple[int, int], num_heads: int, mask=None):
+    """x (B_, N, C) windows; scaled dot-product attention with a learned
+    relative-position-bias table (reference swin_transformer.py:94-152)."""
+    B_, N, C = x.shape
+    dh = C // num_heads
+    qkv = jnp.einsum("bnc,oc->bno", x, p["qkv"]["weight"]) + p["qkv"]["bias"]
+    qkv = qkv.reshape(B_, N, 3, num_heads, dh).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, H, N, dh)
+
+    # attention logits/softmax stay f32 islands like the v2 path
+    attn = jnp.einsum("bhnd,bhmd->bhnm", (q * dh ** -0.5).astype(jnp.float32),
+                      k.astype(jnp.float32))
+    idx = jnp.asarray(_rel_pos_index(win[0], win[1]).reshape(-1))
+    bias = p["relative_position_bias_table"][idx]
+    bias = bias.reshape(N, N, num_heads).transpose(2, 0, 1).astype(jnp.float32)
+    attn = attn + bias[None]
+
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(B_ // nW, nW, num_heads, N, N) + mask[None, :, None]
+        attn = attn.reshape(B_, num_heads, N, N)
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+    out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+    return fnn.linear(p["proj"], out.astype(x.dtype))
+
+
+def _block(p, x, H, W, win: int, shift: int, num_heads: int, version: int = 2,
+           dp_rate: float = 0.0, rng=None):
+    """One Swin block on (B, H, W, C): post-norm (v2) or pre-norm (v1), with
+    stochastic depth on both residual branches when an rng is given."""
     B, _, _, C = x.shape
     shortcut = x
+    if version == 1:  # pre-norm (swin_transformer.py:208)
+        x = fnn.layer_norm(p["norm1"], x)
 
     pad_b = (win - H % win) % win
     pad_r = (win - W % win) % win
@@ -141,7 +196,8 @@ def _block(p, x, H, W, win: int, shift: int, num_heads: int):
 
     xw = xp.reshape(B, Hp // win, win, Wp // win, win, C).transpose(0, 1, 3, 2, 4, 5)
     xw = xw.reshape(-1, win * win, C)
-    aw = _window_attention(p["attn"], xw, (win, win), num_heads, mask)
+    attn_fn = _window_attention_v1 if version == 1 else _window_attention
+    aw = attn_fn(p["attn"], xw, (win, win), num_heads, mask)
     aw = aw.reshape(B, Hp // win, Wp // win, win, win, C).transpose(0, 1, 3, 2, 4, 5)
     xp = aw.reshape(B, Hp, Wp, C)
 
@@ -149,16 +205,27 @@ def _block(p, x, H, W, win: int, shift: int, num_heads: int):
         xp = jnp.roll(xp, (shift, shift), axis=(1, 2))
     x = xp[:, :H, :W]
 
-    x = shortcut + fnn.layer_norm(p["norm1"], x)
-    h = fnn.linear(p["mlp"]["fc1"], x)
-    h = jax.nn.gelu(h, approximate=False)
-    h = fnn.linear(p["mlp"]["fc2"], h)
-    x = x + fnn.layer_norm(p["norm2"], h)
+    r1 = jax.random.fold_in(rng, 0) if rng is not None else None
+    r2 = jax.random.fold_in(rng, 1) if rng is not None else None
+    if version == 1:
+        x = shortcut + fnn.drop_path(x, dp_rate, r1)
+        h = fnn.layer_norm(p["norm2"], x)
+        h = fnn.linear(p["mlp"]["fc1"], h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = fnn.linear(p["mlp"]["fc2"], h)
+        x = x + fnn.drop_path(h, dp_rate, r2)
+    else:
+        x = shortcut + fnn.drop_path(fnn.layer_norm(p["norm1"], x), dp_rate, r1)
+        h = fnn.linear(p["mlp"]["fc1"], x)
+        h = jax.nn.gelu(h, approximate=False)
+        h = fnn.linear(p["mlp"]["fc2"], h)
+        x = x + fnn.drop_path(fnn.layer_norm(p["norm2"], h), dp_rate, r2)
     return x
 
 
-def _patch_merge(p, x):
-    """(B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 2C)."""
+def _patch_merge(p, x, version: int = 2):
+    """(B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 2C). v2 reduces then norms (2C);
+    v1 norms (4C) then reduces (swin_transformer.py:288-291)."""
     B, H, W, C = x.shape
     if H % 2 or W % 2:
         x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
@@ -167,12 +234,15 @@ def _patch_merge(p, x):
     x2 = x[:, 0::2, 1::2]
     x3 = x[:, 1::2, 1::2]
     x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    if version == 1:
+        return fnn.linear(p["reduction"], fnn.layer_norm(p["norm"], x))
     x = fnn.linear(p["reduction"], x)
     return fnn.layer_norm(p["norm"], x)
 
 
-def swin_apply(params, x, cfg: SwinCfg = SwinCfg()):
-    """x (B, H, W, 3) -> list of NHWC stage outputs (strides 8, 16, 32 for MDQE)."""
+def swin_apply(params, x, cfg: SwinCfg = SwinCfg(), rng=None):
+    """x (B, H, W, 3) -> list of NHWC stage outputs (strides 8, 16, 32 for MDQE).
+    rng != None enables training-time stochastic depth at cfg.drop_path_rate."""
     B, H, W, _ = x.shape
     ps = cfg.patch_size
     pad_b = (ps - H % ps) % ps
@@ -192,17 +262,29 @@ def swin_apply(params, x, cfg: SwinCfg = SwinCfg()):
         lp = params["layers"][i]
         for j in range(depth):
             shift = 0 if j % 2 == 0 else win // 2
-            x = _block(lp["blocks"][j], x, x.shape[1], x.shape[2], win, shift, heads)
+            brng = (jax.random.fold_in(rng, sum(cfg.depths[:i]) + j)
+                    if rng is not None else None)
+            x = _block(lp["blocks"][j], x, x.shape[1], x.shape[2], win, shift,
+                       heads, cfg.version, cfg.block_drop_path(i, j), brng)
         if i in cfg.out_stages:
             nrm = params[f"norm{i}"]
             outs.append(fnn.layer_norm(nrm, x))
         if "downsample" in lp:
-            x = _patch_merge(lp["downsample"], x)
+            x = _patch_merge(lp["downsample"], x, cfg.version)
     return outs
 
 
-def _win_attn_init(key, dim, heads, win):
+def _win_attn_init(key, dim, heads, win, version: int = 2):
     ks = jax.random.split(key, 4)
+    if version == 1:
+        # learned bias table, trunc-normal std 0.02 (swin_transformer.py:118)
+        table = 0.02 * jax.random.truncated_normal(
+            ks[0], -2.0, 2.0, ((2 * win - 1) * (2 * win - 1), heads), jnp.float32)
+        return {
+            "relative_position_bias_table": table,
+            "qkv": fnn.linear_init(ks[2], dim, 3 * dim),
+            "proj": fnn.linear_init(ks[3], dim, dim),
+        }
     return {
         "logit_scale": jnp.full((heads, 1, 1), math.log(10.0), jnp.float32),
         "cpb_mlp": {"0": fnn.linear_init(ks[0], 2, 512),
@@ -246,7 +328,7 @@ def swin_init(key, cfg: SwinCfg = SwinCfg()):
             k = jax.random.split(jax.random.fold_in(keys[8 + i], j), 4)
             blocks.append({
                 "attn": _win_attn_init(k[0], dim, cfg.num_heads[i],
-                                       cfg.stage_window(i)),
+                                       cfg.stage_window(i), cfg.version),
                 "norm1": fnn.norm_init(dim),
                 "mlp": {"fc1": fnn.linear_init(k[1], dim, d_ffn),
                         "fc2": fnn.linear_init(k[2], d_ffn, dim)},
@@ -256,7 +338,8 @@ def swin_init(key, cfg: SwinCfg = SwinCfg()):
         if i < len(cfg.depths) - 1:
             layer["downsample"] = {
                 "reduction": {"weight": fnn.xavier_uniform(next(ki), (2 * dim, 4 * dim))},
-                "norm": fnn.norm_init(2 * dim),
+                # v1 norms the 4C concat before reduction; v2 norms the 2C output
+                "norm": fnn.norm_init(4 * dim if cfg.version == 1 else 2 * dim),
             }
         params["layers"].append(layer)
     for i in range(len(cfg.depths)):

@@ -226,3 +226,14 @@ def dropout(x, rate: float, rng):
         return x
     keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+def drop_path(x, rate: float, rng):
+    """Stochastic depth (timm DropPath): zero the whole residual branch per
+    sample with prob `rate`, scaling survivors by 1/(1-rate). Identity when
+    rate==0 or rng is None (eval)."""
+    if rng is None or rate <= 0.0:
+        return x
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(rng, 1.0 - rate, shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)

@@ -162,6 +162,22 @@ def load_reference_swin():
     return mod.SwinTransformerV2
 
 
+def load_reference_swin_v1():
+    """Loads the reference (v1) SwinTransformer class with shimmed deps."""
+    if "swin_v1" in _loaded:
+        return _loaded["swin_v1"]
+    _install_timm_d2_shims()
+    pkg = types.ModuleType("refmdqe.backbone")
+    pkg.__path__ = [REF_ROOT + "/mdqe/backbone"]
+    sys.modules.setdefault("refmdqe", types.ModuleType("refmdqe"))
+    sys.modules["refmdqe"].__path__ = [REF_ROOT + "/mdqe"]
+    sys.modules["refmdqe.backbone"] = pkg
+    mod = _load_mod("refmdqe.backbone.swin_transformer",
+                    REF_ROOT + "/mdqe/backbone/swin_transformer.py")
+    _loaded["swin_v1"] = mod.SwinTransformer
+    return mod.SwinTransformer
+
+
 _loaded = {}
 
 

@@ -10,7 +10,7 @@ REF_AVAILABLE = os.path.isdir("/root/reference/mdqe")
 pytestmark = pytest.mark.skipif(not REF_AVAILABLE, reason="reference not mounted")
 
 if REF_AVAILABLE:
-    from ref_oracle import load_reference_swin
+    from ref_oracle import load_reference_swin, load_reference_swin_v1
 
 from mdqe_cvpr2023_tpu.engine.checkpoint import convert_torch_state_dict
 from mdqe_cvpr2023_tpu.models.swin import SwinCfg, swin_apply
@@ -42,3 +42,53 @@ def test_swin_tiny_geometry_parity():
         exp = expected[name].numpy()
         got = np.moveaxis(np.asarray(outs[i]), -1, 1)
         np.testing.assert_allclose(got, exp, atol=2e-4, rtol=2e-4), name
+
+
+@pytest.mark.slow
+def test_swin_v1_geometry_parity():
+    """Swin v1 (pre-norm, learned rel-pos bias table, norm-then-reduce merge)
+    vs the reference swin_transformer.py:440-683."""
+    SwinV1 = load_reference_swin_v1()
+    torch.manual_seed(1)
+    cfg = SwinCfg(embed_dim=32, depths=(2, 2, 2), num_heads=(2, 4, 8),
+                  window_size=4, out_stages=(0, 1, 2), version=1)
+    ref = SwinV1(patch_size=4, embed_dim=32, depths=[2, 2, 2], num_heads=[2, 4, 8],
+                 window_size=4, drop_path_rate=0.0, ape=False, frozen_stages=-1,
+                 out_features=["stage2", "stage3", "stage4"])
+    ref.eval()
+
+    sd = {"detr.backbone.0.backbone." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params = convert_torch_state_dict(sd)["backbone"]
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 40, 52, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)).contiguous())
+
+    outs = swin_apply(params, jnp.asarray(x), cfg)
+    for i, name in enumerate(["stage2", "stage3", "stage4"]):
+        exp = expected[name].numpy()
+        got = np.moveaxis(np.asarray(outs[i]), -1, 1)
+        np.testing.assert_allclose(got, exp, atol=2e-4, rtol=2e-4), name
+
+
+def test_swin_drop_path_train_eval():
+    """Stochastic depth: eval (rng=None) deterministic; train rng produces a
+    different but finite output; rate 0 with an rng equals eval."""
+    import jax
+    cfg = SwinCfg(embed_dim=16, depths=(2, 2), num_heads=(2, 4), window_size=4,
+                  out_stages=(0, 1), drop_path_rate=0.5)
+    from mdqe_cvpr2023_tpu.models.swin import swin_init
+    params = swin_init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((4, 16, 16, 3)),
+                    jnp.float32)
+    eval_out = swin_apply(params, x, cfg)
+    train_out = swin_apply(params, x, cfg, rng=jax.random.PRNGKey(3))
+    assert all(bool(np.isfinite(np.asarray(o)).all()) for o in train_out)
+    assert not np.allclose(np.asarray(eval_out[-1]), np.asarray(train_out[-1]))
+    cfg0 = SwinCfg(embed_dim=16, depths=(2, 2), num_heads=(2, 4), window_size=4,
+                   out_stages=(0, 1), drop_path_rate=0.0)
+    same = swin_apply(params, x, cfg0, rng=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(eval_out[-1]), np.asarray(same[-1]),
+                               rtol=1e-6, atol=1e-6)

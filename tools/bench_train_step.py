@@ -68,6 +68,12 @@ def main():
     key = jax.random.PRNGKey(1)
     params, opt_state, total, _ = step(params, opt_state, batch, key)
     np.asarray(total)  # compile + first step
+    # second warm-up with the FED-BACK state: host-uploaded params can have
+    # different layouts than the step's outputs, so the first feedback
+    # iteration triggers one more compile — it must not land in the timed loop
+    params, opt_state, total, _ = step(params, opt_state, batch,
+                                       jax.random.fold_in(key, 10**6))
+    np.asarray(total)
 
     K = int(os.environ.get("TRAIN_BENCH_ITERS", 6))
     t0 = time.perf_counter()
