@@ -38,6 +38,10 @@ def color_for(i):
 
 def main():
     import cv2
+    import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:  # sitecustomize may have pinned another platform (see train_net.py)
+        jax.config.update("jax_platforms", plat)
     from mdqe_cvpr2023_tpu.data.augmentation import (AugmentationPipeline,
                                                      apply_transforms)
     from mdqe_cvpr2023_tpu.engine import load_config

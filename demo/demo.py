@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--weights", default=None)
     p.add_argument("--confidence-threshold", type=float, default=0.3)
     p.add_argument("--fps", type=int, default=10)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[],
+                   help="config overrides: KEY VALUE [KEY VALUE ...]")
     return p.parse_args()
 
 
@@ -34,53 +36,63 @@ def color_for(i):
     return rng.integers(60, 255, 3).astype(np.uint8)
 
 
+def read_frames(vid_path):
+    import cv2
+    if os.path.isdir(vid_path):
+        files = sorted(glob.glob(os.path.join(vid_path, "*.jpg"))
+                       + glob.glob(os.path.join(vid_path, "*.png")))
+        return [cv2.imread(f)[:, :, ::-1] for f in files]
+    cap = cv2.VideoCapture(vid_path)
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(frame[:, :, ::-1])
+    return frames
+
+
 def main():
     import cv2
+    import jax
+    # honor an explicit JAX_PLATFORMS even when sitecustomize pinned another
+    # platform at import time (same fix as train_net.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    from predictor import AsyncPredictor
     from mdqe_cvpr2023_tpu.engine import load_config
     from mdqe_cvpr2023_tpu.engine.trainer import Trainer
+    from mdqe_cvpr2023_tpu.models.meta import inference_vis, preprocess_frames
 
     args = parse_args()
     cfg = load_config(args.config_file)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
     if args.weights:
         cfg.MODEL.WEIGHTS = args.weights
     trainer = Trainer(cfg)
     os.makedirs(args.output, exist_ok=True)
 
-    for vid_path in args.input:
-        if os.path.isdir(vid_path):
-            files = sorted(glob.glob(os.path.join(vid_path, "*.jpg"))
-                           + glob.glob(os.path.join(vid_path, "*.png")))
-            frames = [cv2.imread(f)[:, :, ::-1] for f in files]
-        else:
-            cap = cv2.VideoCapture(vid_path)
-            frames = []
-            while True:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                frames.append(frame[:, :, ::-1])
-        if not frames:
-            print(f"no frames in {vid_path}")
-            continue
-        H, W = frames[0].shape[:2]
-        rec = {"video_id": 0, "file_names": [], "height": H, "width": W,
-               "length": len(frames)}
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+    min_test = cfg.INPUT.MIN_SIZE_TEST
+    max_test = cfg.INPUT.get("MAX_SIZE_TEST", 1333)
 
-        # run inference directly on in-memory frames
-        from mdqe_cvpr2023_tpu.models.meta import inference_vis, preprocess_frames
-        mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
-        std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
-        min_test = cfg.INPUT.MIN_SIZE_TEST
-        max_test = cfg.INPUT.get("MAX_SIZE_TEST", 1333)
+    def predict(frames):
+        """Full-video inference on in-memory RGB frames."""
+        H, W = frames[0].shape[:2]
         scale = min_test / min(H, W)
         if max(H, W) * scale > max_test:
             scale = max_test / max(H, W)
         th, tw = int(round(H * scale)), int(round(W * scale))
         resized = np.stack([cv2.resize(f, (tw, th)) for f in frames])
         proc, _ = preprocess_frames(resized, mean, std)
-        out = inference_vis(trainer.params, trainer.model_cfg, trainer.inf_cfg,
-                            proc, image_size=(th, tw), ori_size=(H, W))
+        return inference_vis(trainer.params, trainer.model_cfg, trainer.inf_cfg,
+                             proc, image_size=(th, tw), ori_size=(H, W))
 
+    def render(vid_path, frames, out):
+        H, W = frames[0].shape[:2]
         keep = [i for i, s in enumerate(out["pred_scores"])
                 if s > args.confidence_threshold]
         name = os.path.splitext(os.path.basename(vid_path.rstrip("/")))[0]
@@ -95,6 +107,26 @@ def main():
             writer.write(vis[:, :, ::-1])
         writer.release()
         print(f"wrote {name}.mp4 with {len(keep)} instances")
+
+    # inference of video k+1 overlaps rendering of video k (the reference's
+    # AsyncPredictor purpose, demo/predictor.py:123-128, thread-based here);
+    # at most 2 videos are held in memory at once
+    predictor = AsyncPredictor(predict)
+    pending = []
+    for vid_path in args.input:
+        frames = read_frames(vid_path)
+        if not frames:
+            print(f"no frames in {vid_path}")
+            continue
+        predictor.put(frames)
+        pending.append((vid_path, frames))
+        if len(pending) > 1:
+            path, frm = pending.pop(0)
+            render(path, frm, predictor.get())
+    while pending:
+        path, frm = pending.pop(0)
+        render(path, frm, predictor.get())
+    predictor.shutdown()
 
 
 if __name__ == "__main__":

@@ -36,6 +36,9 @@ def count_params(tree, prefix=""):
 
 def main():
     import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:  # sitecustomize may have pinned another platform (see train_net.py)
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
     from mdqe_cvpr2023_tpu.engine import load_config
     from mdqe_cvpr2023_tpu.engine.build import build_model_cfg
