@@ -22,6 +22,7 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.deform_attn import ms_deform_attn
 from ..utils import nn as fnn
@@ -138,6 +139,10 @@ def ms_deform_attn_module(p, cfg: MSDeformAttnCfg, query, reference_points, inpu
         B, N, _ = value.shape
         v = value.reshape(B, N, H, D)
         out = ms_deform_attn(v, spatial_shapes, loc, attw)
+        # named so remat policies can SAVE the kernel output: re-running the
+        # fused forward kernel during the backward costs ~34 ms per encoder
+        # layer at train geometry, ~0.2 s/step for 70 MB/layer of savings
+        out = checkpoint_name(out, "msda_out")
     else:
         # frames act as levels; one core-op call per pyramid level, averaged
         B, T, N, _ = value.shape

@@ -111,10 +111,15 @@ def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos, drop_rate=0.0,
                                mask, drop_rate, lrng)
             return x, None
 
-        # remat each layer for backward: storing every layer's deform-attn
-        # residuals (value/locations/weights, ~200 MB per layer at train
-        # geometry) contributes to HBM spilling; recompute is ~1 extra fwd
-        x, _ = jax.lax.scan(jax.checkpoint(body), src, (stacked, keys))
+        # remat each layer for backward, but SAVE the deform-attn kernel output
+        # (~70 MB/layer): storing every layer's full residual set (value/
+        # locations/weights, ~200 MB per layer) causes HBM spilling, while
+        # recomputing the fused kernel forward costs ~34 ms per layer — the
+        # policy keeps the cheap-to-recompute parts remat'd and skips only the
+        # expensive kernel re-run (measured 1.43 -> 1.2 s/step)
+        save_msda = jax.checkpoint_policies.save_only_these_names("msda_out")
+        x, _ = jax.lax.scan(jax.checkpoint(body, policy=save_msda), src,
+                            (stacked, keys))
     else:
         def body(x, lp):
             x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes,
