@@ -241,12 +241,16 @@ def collate_clips(samples: List[Dict], max_instances: int, size_divisibility=32,
         Hp, Wp = pad_hw
     N = max_instances
 
-    images = np.zeros((B * T, Hp, Wp, 3), np.float32)
+    # compact wire dtypes: uint8 images + bool masks are 4x smaller on the
+    # host->device transfer (the dominant per-iteration host cost on a
+    # tunneled chip: ~170 MB/iter as f32 vs ~43 MB); the train step normalizes
+    # images and casts masks on device
+    images = np.zeros((B * T, Hp, Wp, 3), np.uint8)
     sizes = np.zeros((B * T, 2), np.int32)
     labels = np.zeros((B, N), np.int32)
     ids = np.full((B, N, T), -1, np.int32)
     boxes = np.zeros((B, N, T, 4), np.float32)
-    masks = np.zeros((B, N, T, Hp, Wp), np.float32)
+    masks = np.zeros((B, N, T, Hp, Wp), bool)
     valid = np.zeros((B, N), bool)
 
     for b, s in enumerate(samples):
@@ -262,7 +266,7 @@ def collate_clips(samples: List[Dict], max_instances: int, size_divisibility=32,
         bx[..., 0::2] /= Wp
         bx[..., 1::2] /= Hp
         boxes[b, :n] = bx.clip(0, 1)
-        masks[b, :n, :, :h, :w] = s["masks"][keep][:, :, :h, :w]
+        masks[b, :n, :, :h, :w] = s["masks"][keep][:, :, :h, :w] > 0
         valid[b, :n] = (s["labels"][keep] >= 0) & ((s["ids"][keep] >= 0).any(-1))
     return {"images": images, "image_sizes": sizes, "labels": labels, "ids": ids,
             "boxes": boxes, "masks": masks, "valid": valid}
@@ -286,7 +290,7 @@ class CombinedClipLoader:
 
     def __init__(self, sources, ratios, batch_size: int, max_instances: int,
                  seed: int = 0, pad_hw=None, size_buckets=None,
-                 num_workers: int = 0, prefetch_depth: int = 4):
+                 num_workers: int = 0, prefetch_depth: int = 4, transfer=None):
         assert len(sources) == len(ratios)
         self.sources = sources
         self.ratios = np.asarray(ratios, np.float64) / np.sum(ratios)
@@ -299,6 +303,10 @@ class CombinedClipLoader:
             if size_buckets else None
         self.num_workers = num_workers
         self.prefetch_depth = max(prefetch_depth, num_workers)
+        # optional device-placement callback (e.g. shard_batch over the mesh),
+        # run INSIDE the worker threads so host->device transfer of future
+        # batches overlaps the current train step instead of serializing on it
+        self.transfer = transfer
         self.last_wait_s = 0.0  # host time the consumer blocked on the last batch
 
     def _bucket_for(self, maxh: int, maxw: int):
@@ -336,11 +344,13 @@ class CombinedClipLoader:
         """Infinite batch stream starting at index `start` (pass the resume
         iteration to continue an interrupted run on the exact same data)."""
         import time as _time
+        produce = self.batch_at if self.transfer is None \
+            else (lambda k: self.transfer(self.batch_at(k)))
         if self.num_workers <= 0:
             k = start
             while True:
                 t0 = _time.perf_counter()
-                b = self.batch_at(k)
+                b = produce(k)
                 self.last_wait_s = _time.perf_counter() - t0
                 yield b
                 k += 1
@@ -350,14 +360,14 @@ class CombinedClipLoader:
         ex = ThreadPoolExecutor(self.num_workers,
                                 thread_name_prefix="clip_loader")
         try:
-            pending = deque(ex.submit(self.batch_at, start + i)
+            pending = deque(ex.submit(produce, start + i)
                             for i in range(self.prefetch_depth))
             k = start + self.prefetch_depth
             while True:
                 t0 = _time.perf_counter()
                 b = pending.popleft().result()
                 self.last_wait_s = _time.perf_counter() - t0
-                pending.append(ex.submit(self.batch_at, k))
+                pending.append(ex.submit(produce, k))
                 k += 1
                 yield b
         finally:

@@ -29,10 +29,12 @@ from .checkpoint import load_torch_checkpoint
 
 
 @functools.lru_cache(maxsize=8)
-def _cached_train_step(model_cfg, crit_cfg, train_cfg, match_stride):
+def _cached_train_step(model_cfg, crit_cfg, train_cfg, match_stride,
+                       pixel_mean, pixel_std):
     tx = make_optimizer(train_cfg)
     return tx, make_train_step(model_cfg, crit_cfg, tx,
-                               match_stride=match_stride)
+                               match_stride=match_stride,
+                               pixel_mean=pixel_mean, pixel_std=pixel_std)
 
 
 class Trainer:
@@ -52,7 +54,8 @@ class Trainer:
         # trainers (e.g. resume in the same process, tests) reuse the jit cache
         self.tx, self.step_fn = _cached_train_step(
             self.model_cfg, self.crit_cfg, self.train_cfg,
-            cfg.MODEL.MDQE.MATCH_STRIDE)
+            cfg.MODEL.MDQE.MATCH_STRIDE,
+            tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD))
         self.opt_state = self.tx.init(self.params)
         self.iteration = 0
 
@@ -113,11 +116,14 @@ class Trainer:
             ratios = [1.0] * len(sources)
         n_dev = len(jax.devices())
         batch = max(cfg.SOLVER.IMS_PER_BATCH // max(n_dev, 1), 1) * n_dev
+        # device placement happens inside the worker threads (transfer=...):
+        # the ~43 MB/iter host->device upload overlaps the in-flight train step
         return CombinedClipLoader(sources, ratios, batch,
                                   cfg.MODEL.MDQE.MAX_NUM_INSTANCES // 6 or 20,
                                   seed=cfg.get("SEED", 0),
                                   size_buckets=sorted(buckets),
-                                  num_workers=cfg.DATALOADER.NUM_WORKERS)
+                                  num_workers=cfg.DATALOADER.NUM_WORKERS,
+                                  transfer=lambda b: shard_batch(b, self.mesh))
 
     # ------------------------------------------------------------------
     def train(self, max_iter: Optional[int] = None, log_every: int = 20,
@@ -137,8 +143,7 @@ class Trainer:
             while self.iteration < max_iter:
                 if profile_at is not None and self.iteration == profile_at:
                     jax.profiler.start_trace(os.path.join(self.output_dir, "trace"))
-                batch = shard_batch(jax.tree.map(jnp.asarray, next(loader)),
-                                    self.mesh)
+                batch = next(loader)  # already sharded by the loader threads
                 data_wait += source.last_wait_s
                 params, opt_state, total, ldict = self.step_fn(
                     params, opt_state, batch, jax.random.fold_in(rng, self.iteration))

@@ -130,9 +130,8 @@ def encode_frames(params, model_cfg: MDQEModelCfg, images, image_sizes):
     return encoded, mask_flat
 
 
-@functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes", "bf16"))
-def encode_window(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
-                  pixel_mean, pixel_std, spatial_shapes, bf16: bool = True):
+def _encode_window_core(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
+                        pixel_mean, pixel_std, spatial_shapes, bf16: bool = True):
     """One launch for a whole window: uint8 frames are normalized on device (4x less
     host->device traffic), then backbone + encoder (bf16, fp32 islands inside the
     deform-attn core — mirrors the reference's fp16-autocast eval) + mask head (f32).
@@ -149,6 +148,37 @@ def encode_window(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
     encoded = encoded.astype(jnp.float32)
     maskf = detr_mask_feats(params, model_cfg, encoded, spatial_shapes)
     return encoded, mask_flat, maskf
+
+
+_encode_window_jit = jax.jit(
+    _encode_window_core, static_argnames=("model_cfg", "spatial_shapes", "bf16"))
+
+
+@functools.lru_cache(maxsize=8)
+def _encode_window_jit_sharded(mesh):
+    """Frame-parallel window encode over a device mesh: every frame of the
+    window is independent through backbone+encoder+mask-head (SURVEY §2.9 /
+    reference models/mdqe.py:79-105 treats BT as batch), so the frame axis
+    shards over 'data' and XLA all-gathers the three replicated outputs over
+    ICI (~130 MB bf16 per 30-frame window) for the clip decoder/tracker."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    return jax.jit(_encode_window_core,
+                   static_argnames=("model_cfg", "spatial_shapes", "bf16"),
+                   out_shardings=(repl, repl, repl))
+
+
+def encode_window(params, model_cfg: MDQEModelCfg, frames_u8, image_sizes,
+                  pixel_mean, pixel_std, spatial_shapes, bf16: bool = True,
+                  mesh=None):
+    """Window encode; pass a 1-D Mesh(('data',)) to shard frames across chips
+    (params must be replicated and frames placed with P('data') by the caller)."""
+    if mesh is None or mesh.size == 1:
+        return _encode_window_jit(params, model_cfg, frames_u8, image_sizes,
+                                  pixel_mean, pixel_std, spatial_shapes, bf16)
+    return _encode_window_jit_sharded(mesh)(
+        params, model_cfg, frames_u8, image_sizes, pixel_mean, pixel_std,
+        spatial_shapes, bf16)
 
 
 @functools.partial(jax.jit, static_argnames=("model_cfg", "spatial_shapes"))
@@ -334,11 +364,14 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                   frames: np.ndarray, image_size: Tuple[int, int],
                   ori_size: Tuple[int, int],
                   pixel_mean=(123.675, 116.28, 103.53),
-                  pixel_std=(58.395, 57.12, 57.375)):
+                  pixel_std=(58.395, 57.12, 57.375), mesh=None):
     """Run near-online VIS on one video.
 
     frames: (T, Hp, Wp, 3) padded uint8 (host); normalization runs on device.
     image_size: true (h, w) before padding; ori_size: original video (h, w).
+    mesh: optional 1-D jax.sharding.Mesh(('data',)) — window frames shard
+    across its devices for the encode (the dominant cost); decode/tracker run
+    replicated, so results are identical to single-chip.
     Returns dict {image_size, pred_scores, pred_labels, pred_masks} like the reference.
     """
     T_clip = inf_cfg.n_frames_test
@@ -349,8 +382,25 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     W_win = inf_cfg.n_frames_window_test
     stride = inf_cfg.clip_stride
     shapes = spatial_shapes_for(model_cfg, frames.shape[1:3])
-    mean_dev = jnp.asarray(pixel_mean, jnp.float32)
-    std_dev = jnp.asarray(pixel_std, jnp.float32)
+
+    repl = shard_frames = None
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        shard_frames = NamedSharding(mesh, P("data"))
+        params = jax.device_put(params, repl)
+    else:
+        mesh = None
+
+    def _put_frames(a):
+        return (jax.device_put(a, shard_frames) if shard_frames is not None
+                else jnp.asarray(a))
+
+    def _put_repl(a):
+        return jax.device_put(a, repl) if repl is not None else jnp.asarray(a)
+
+    mean_dev = _put_repl(np.asarray(pixel_mean, np.float32))
+    std_dev = _put_repl(np.asarray(pixel_std, np.float32))
 
     from ..tracking.device_tracker import (TrackerCfg, finalize_avg_chunk,
                                            tracker_state_init,
@@ -363,6 +413,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                         embed_dim=model_cfg.hidden_dim, mask_hw=mask_hw,
                         apply_cls_thres=inf_cfg.apply_cls_thres)
     state = tracker_state_init(tr_cfg)
+    if repl is not None:
+        state = jax.device_put(state, repl)
     # host shadow of the frame bookkeeping (reference clip_offsets semantics)
     start_frame = 0
     saved_idx: set = set()
@@ -391,6 +443,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     window_spans = sorted({(ws, we) for _, _, ws, we in schedule})
     windows, uploads = {}, {}
     chunk = max(int(inf_cfg.encode_chunk), 1)
+    if mesh is not None:  # even frame sharding needs chunk % mesh.size == 0
+        chunk = -(-chunk // mesh.size) * mesh.size
 
     def enqueue_upload(ws, we):
         """Start the (async) host->device transfer of a window's frames in
@@ -408,8 +462,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
             wf = np.concatenate([wf] + [wf[-1:]] * pad)
             sz = np.concatenate([sz] + [sz[-1:]] * pad)
         uploads[ws] = [
-            (_timed("frame_upload", jnp.asarray, wf[c0:c0 + chunk]),
-             jnp.asarray(sz[c0:c0 + chunk]))
+            (_timed("frame_upload", _put_frames, wf[c0:c0 + chunk]),
+             _put_frames(sz[c0:c0 + chunk]))
             for c0 in range(0, wlen, chunk)]
 
     def get_window(ws, we):
@@ -417,7 +471,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
             enqueue_upload(ws, we)
             parts = [_timed("encode_dispatch",
                             functools.partial(encode_window,
-                                              bf16=inf_cfg.bf16_encode),
+                                              bf16=inf_cfg.bf16_encode,
+                                              mesh=mesh),
                             params, model_cfg, f, s, mean_dev, std_dev, shapes)
                      for f, s in uploads.pop(ws)]
             if len(parts) == 1:
@@ -440,7 +495,7 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
 
     def dev_const(cache, val, arr):
         if val not in cache:
-            cache[val] = jnp.asarray(arr)
+            cache[val] = _put_repl(arr)
         return cache[val]
 
     # group consecutive clips that share an encode window into fixed-size decode

@@ -74,12 +74,13 @@ def make_optimizer(tc: TrainCfg) -> optax.GradientTransformation:
 
 
 def prepare_targets_device(masks_full, padded_hw, match_stride: int):
-    """masks_full (B,N,T,Hp,Wp) float -> (match_masks (B,N,T,h4,w4),
+    """masks_full (B,N,T,Hp,Wp) float or bool -> (match_masks (B,N,T,h4,w4),
     masks8 flat (B,N,T,P8) bool) — the reference's prepare_targets mask transforms
     (mdqe.py:276-281) plus the peak matcher's stride-8 downsample (matcher.py:281)."""
     Hp, Wp = padded_hw
     h4, w4 = -(-Hp // match_stride), -(-Wp // match_stride)
     h8, w8 = -(-Hp // 8), -(-Wp // 8)
+    masks_full = masks_full.astype(jnp.float32)  # bool over the wire
     match_masks = interpolate_bilinear(masks_full, (h4, w4))
     masks8 = interpolate_bilinear(masks_full, (h8, w8)) > 0.5
     B, N, T = masks8.shape[:3]
@@ -87,16 +88,25 @@ def prepare_targets_device(masks_full, padded_hw, match_stride: int):
 
 
 def make_train_step(model_cfg: MDQEModelCfg, crit_cfg: CriterionCfg, tx,
-                    match_stride: int = 4, dropout_rate: float = 0.1):
+                    match_stride: int = 4, dropout_rate: float = 0.1,
+                    pixel_mean: Tuple[float, ...] = (123.675, 116.28, 103.53),
+                    pixel_std: Tuple[float, ...] = (58.395, 57.12, 57.375)):
     """Returns train_step(params, opt_state, batch, rng) -> (params, opt_state,
-    total_loss, loss_dict). Jit with donated params/opt_state."""
+    total_loss, loss_dict). Jit with donated params/opt_state.
+
+    Images arrive RAW (uint8 RGB from the loader) and are normalized on device
+    (reference preprocess_image, mdqe.py:473-484) — the uint8 wire format is 4x
+    cheaper to ship to a tunneled chip than pre-normalized f32."""
     relpos = jnp.asarray(query_relpos_grid(
         int(round(crit_cfg.n_query ** 0.5))))
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
 
     def loss_fn(params, batch, rng):
         T = crit_cfg.n_frames
         drop_rng = jax.random.fold_in(rng, 999)
-        out = detr_apply_backbone(params, model_cfg, batch["images"],
+        images = (batch["images"].astype(jnp.float32) - mean) / std
+        out = detr_apply_backbone(params, model_cfg, images,
                                   batch["image_sizes"], n_frames=T, training=True,
                                   drop_rate=dropout_rate, rng=drop_rng)
         match_masks, masks8 = prepare_targets_device(
