@@ -89,7 +89,7 @@ def main():
         "DATASETS.DATASET_RATIO", "[1.0]",
         "INPUT.MIN_SIZE_TRAIN", "[512]", "INPUT.MAX_SIZE_TRAIN", "800",
         "SOLVER.IMS_PER_BATCH", "2", "SOLVER.CHECKPOINT_PERIOD", "1000000",
-        "TEST.EVAL_PERIOD", "0", "DATALOADER.NUM_WORKERS", "4",
+        "TEST.EVAL_PERIOD", "0", "DATALOADER.NUM_WORKERS", "8",
         "OUTPUT_DIR", out_dir,
     ])
     trainer = Trainer(cfg, datasets_root=root)
