@@ -83,6 +83,7 @@ def build_train_cfg(cfg: CfgNode) -> TrainCfg:
         max_iter=int(s.MAX_ITER),
         warmup_iters=int(s.WARMUP_ITERS),
         warmup_factor=float(s.WARMUP_FACTOR),
+        amp=bool(s.AMP.ENABLED),
     )
 
 

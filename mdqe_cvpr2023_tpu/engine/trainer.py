@@ -34,7 +34,8 @@ def _cached_train_step(model_cfg, crit_cfg, train_cfg, match_stride,
     tx = make_optimizer(train_cfg)
     return tx, make_train_step(model_cfg, crit_cfg, tx,
                                match_stride=match_stride,
-                               pixel_mean=pixel_mean, pixel_std=pixel_std)
+                               pixel_mean=pixel_mean, pixel_std=pixel_std,
+                               amp=train_cfg.amp)
 
 
 class Trainer:

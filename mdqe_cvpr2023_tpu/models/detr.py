@@ -194,13 +194,28 @@ def detr_mask_feats(params, cfg: MDQEModelCfg, encoded, spatial_shapes):
 
 def detr_apply_backbone(params, cfg: MDQEModelCfg, images, image_sizes,
                         n_frames: int, training: bool, is_coco: bool = False,
-                        drop_rate: float = 0.0, rng=None):
+                        drop_rate: float = 0.0, rng=None, amp: bool = False):
     """Full forward: encode + decode. Returns the decoder output dict.
-    drop_rate/rng enable the reference's 0.1 transformer dropout during training."""
+    drop_rate/rng enable the reference's 0.1 transformer dropout during training.
+
+    amp=True runs backbone + input projections + encoder in bf16 (fp32 islands
+    inside the deform-attn sampling math) and hands the decoder fp32 inputs —
+    the TPU analog of the reference's SOLVER.AMP autocast training, which keeps
+    the decoder and losses fp32 (transformer_dec.py:446, criterion.py:540).
+    Params stay fp32 masters; the cast is differentiable so grads accumulate
+    in fp32."""
     enc_rng = jax.random.fold_in(rng, 1) if rng is not None else None
     dec_rng = jax.random.fold_in(rng, 2) if rng is not None else None
-    encoded, mask_flat, spatial_shapes = detr_encode(params, cfg, images, image_sizes,
+    p = params
+    if amp:
+        images = images.astype(jnp.bfloat16)
+        bf16_sub = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            {k: params[k] for k in ("backbone", "input_proj", "transformer_enc")})
+        p = dict(params, **bf16_sub)
+    encoded, mask_flat, spatial_shapes = detr_encode(p, cfg, images, image_sizes,
                                                      drop_rate, enc_rng)
+    encoded = encoded.astype(jnp.float32)
     return decoder_apply(params["transformer_dec"], cfg.decoder_cfg, encoded, mask_flat,
                          spatial_shapes, n_frames, training, is_coco=is_coco,
                          drop_rate=drop_rate, rng=dec_rng)

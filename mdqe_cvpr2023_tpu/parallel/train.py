@@ -40,6 +40,7 @@ class TrainCfg:
     warmup_iters: int = 10
     warmup_factor: float = 1.0
     gamma: float = 0.1
+    amp: bool = False  # bf16 backbone+encoder (reference SOLVER.AMP.ENABLED)
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -90,7 +91,8 @@ def prepare_targets_device(masks_full, padded_hw, match_stride: int):
 def make_train_step(model_cfg: MDQEModelCfg, crit_cfg: CriterionCfg, tx,
                     match_stride: int = 4, dropout_rate: float = 0.1,
                     pixel_mean: Tuple[float, ...] = (123.675, 116.28, 103.53),
-                    pixel_std: Tuple[float, ...] = (58.395, 57.12, 57.375)):
+                    pixel_std: Tuple[float, ...] = (58.395, 57.12, 57.375),
+                    amp: bool = False):
     """Returns train_step(params, opt_state, batch, rng) -> (params, opt_state,
     total_loss, loss_dict). Jit with donated params/opt_state.
 
@@ -108,7 +110,7 @@ def make_train_step(model_cfg: MDQEModelCfg, crit_cfg: CriterionCfg, tx,
         images = (batch["images"].astype(jnp.float32) - mean) / std
         out = detr_apply_backbone(params, model_cfg, images,
                                   batch["image_sizes"], n_frames=T, training=True,
-                                  drop_rate=dropout_rate, rng=drop_rng)
+                                  drop_rate=dropout_rate, rng=drop_rng, amp=amp)
         match_masks, masks8 = prepare_targets_device(
             batch["masks"], batch["images"].shape[1:3], match_stride)
         targets = {

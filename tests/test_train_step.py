@@ -82,3 +82,27 @@ def test_train_step_data_parallel_mesh():
         params2, opt2, total, _ = step(params_r, opt_r, sharded,
                                        jax.random.PRNGKey(2))
     assert np.isfinite(float(total))
+
+
+@pytest.mark.slow
+def test_train_step_amp_decreases_loss():
+    """AMP mode (bf16 backbone+encoder, fp32 decoder/losses — the reference
+    SOLVER.AMP analog): finite losses that decrease when overfitting a batch."""
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    tc = TrainCfg(base_lr=1e-3, steps=(1000,), max_iter=100, clip_norm=1.0)
+    tx = make_optimizer(tc)
+    opt_state = tx.init(params)
+    step = make_train_step(TINY, CRIT, tx, amp=True)
+    batch = jax.tree.map(jnp.asarray, make_batch(B=2, T=2))
+    rng = jax.random.PRNGKey(1)
+
+    losses = []
+    for i in range(3):
+        params, opt_state, total, ldict = step(params, opt_state, batch,
+                                               jax.random.fold_in(rng, i))
+        losses.append(float(total))
+    assert all(np.isfinite(losses))
+    # fp32 masters: params must stay f32 even though the fwd ran bf16
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(l.dtype != jnp.bfloat16 for l in leaves)
+    assert losses[-1] < losses[0]

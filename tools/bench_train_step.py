@@ -46,7 +46,8 @@ def main():
     enable_cache()  # persistent TPU compile cache (never for the CPU init)
     tx = make_optimizer(TrainCfg())
     opt_state = tx.init(params)
-    step = make_train_step(cfg, crit, tx)
+    amp = os.environ.get("TRAIN_BENCH_AMP") == "1"  # reference SOLVER.AMP analog
+    step = make_train_step(cfg, crit, tx, amp=amp)
 
     rng = np.random.default_rng(0)
     masks = np.zeros((B, N, T, Hp, Wp), np.float32)
@@ -95,7 +96,8 @@ def main():
         pass
     peak = 197e12
     print(json.dumps({
-        "metric": f"train_step_sec_per_iter_{backbone}_f{T}_{Hp}x{Wp}",
+        "metric": f"train_step_sec_per_iter_{backbone}_f{T}_{Hp}x{Wp}"
+                  + ("_amp" if amp else ""),
         "batch_per_chip": B, "value": round(dt, 3), "unit": "s/iter",
         "clips_per_sec_train": round(B / dt, 2),
         "tflops_per_step": round(flops / 1e12, 2),
