@@ -51,8 +51,8 @@ class MDQEModelCfg:
         if self.backbone.startswith("resnet"):
             return (512, 1024, 2048)  # res3, res4, res5
         if self.backbone.startswith("swin"):
-            e = self.swin_cfg.embed_dim
-            return (2 * e, 4 * e, 8 * e)  # stages 1..3 at strides 8/16/32
+            sc = self.swin_cfg
+            return tuple(sc.stage_dim(i) for i in sc.emit_stages)
         raise ValueError(self.backbone)
 
     @property
@@ -64,6 +64,9 @@ class MDQEModelCfg:
 
     @property
     def feature_strides(self) -> Tuple[int, ...]:
+        if self.backbone.startswith("swin"):
+            sc = self.swin_cfg
+            return tuple(sc.patch_size * 2 ** i for i in sc.emit_stages)
         return (8, 16, 32)
 
     @property

@@ -48,6 +48,17 @@ class SwinCfg:
     version: int = 2           # 1 = swin_transformer.py, 2 = swin_transformer_v2.py
     drop_path_rate: float = 0.0  # reference configs train with 0.2
 
+    @property
+    def emit_stages(self) -> Tuple[int, ...]:
+        """out_stages restricted to stages that exist; if the requested set is
+        mostly absent (a custom swin shallower than 4 stages), fall back to the
+        last min(3, n_stages) stages so the model still gets a 3-level pyramid."""
+        n = len(self.depths)
+        valid = tuple(i for i in self.out_stages if i < n)
+        if len(valid) < min(len(self.out_stages), n):
+            valid = tuple(range(max(0, n - len(self.out_stages)), n))
+        return valid
+
     def stage_dim(self, i):
         return self.embed_dim * 2 ** i
 
@@ -266,7 +277,7 @@ def swin_apply(params, x, cfg: SwinCfg = SwinCfg(), rng=None):
                     if rng is not None else None)
             x = _block(lp["blocks"][j], x, x.shape[1], x.shape[2], win, shift,
                        heads, cfg.version, cfg.block_drop_path(i, j), brng)
-        if i in cfg.out_stages:
+        if i in cfg.emit_stages:
             nrm = params[f"norm{i}"]
             outs.append(fnn.layer_norm(nrm, x))
         if "downsample" in lp:
@@ -343,7 +354,7 @@ def swin_init(key, cfg: SwinCfg = SwinCfg()):
             }
         params["layers"].append(layer)
     for i in range(len(cfg.depths)):
-        if i in cfg.out_stages:
+        if i in cfg.emit_stages:
             params[f"norm{i}"] = fnn.norm_init(cfg.stage_dim(i))
     return params
 
