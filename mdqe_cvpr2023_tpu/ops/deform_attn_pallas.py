@@ -157,27 +157,37 @@ def _make_fused_kernel(shapes_eff, D, P, compute_dtype, interpret):
     loop made the Mosaic program L*H bodies long and its compile time superlinear
     (~170 s per kernel instantiation); with 1 head per cell the same math
     compiles in seconds and the runtime cost is one extra (cheap) XLA transpose
-    of the (B, H, Qp, D) output."""
+    of the (B, H, Qp, D) output.
+
+    g arrives TRANSPOSED — (1, 1, Qt, L*3P), queries in SUBLANES — so the hat
+    broadcasts (Qt, 1) -> (Qt, c) are pure lane-broadcasts. The original
+    (1, 1, L*3P, Qt) layout (queries in lanes) forced Mosaic to relayout every
+    gy/gx/aw row from lanes to sublanes before the (P, Qt, c) broadcast;
+    profiling showed hat construction alone then cost MORE than both matmuls
+    (bit-exact 18% whole-kernel win from this transpose at encoder scale)."""
     L = len(shapes_eff)
 
     def kernel(g_ref, *refs):
         v_refs = refs[:L]
         out_ref = refs[L]
-        Qt = g_ref.shape[3]
+        Qt = g_ref.shape[2]
         acc = None
         for l, (h_l, w_l) in enumerate(shapes_eff):
-            g = g_ref[0, 0, l * 3 * P:(l + 1) * 3 * P]
-            gy = g[:P]
-            gx = g[P:2 * P]
-            aw = g[2 * P:3 * P]
-            iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h_l), 2
+            base = l * 3 * P
+            iy = jax.lax.broadcasted_iota(jnp.int32, (Qt, h_l), 1
                                           ).astype(jnp.float32)
-            hat_y = (jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy[..., None]))
-                     * aw[..., None]).reshape(P * Qt, h_l)
-            ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w_l), 2
+            ix = jax.lax.broadcasted_iota(jnp.int32, (Qt, w_l), 1
                                           ).astype(jnp.float32)
-            hat_x = jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None])
-                                ).reshape(P * Qt, w_l)
+            hy_parts, hx_parts = [], []
+            for p in range(P):
+                gy = g_ref[0, 0, :, base + p:base + p + 1]          # (Qt, 1)
+                gx = g_ref[0, 0, :, base + P + p:base + P + p + 1]
+                aw = g_ref[0, 0, :, base + 2 * P + p:base + 2 * P + p + 1]
+                hy_parts.append(
+                    jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy)) * aw)
+                hx_parts.append(jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx)))
+            hat_y = jnp.concatenate(hy_parts, axis=0)               # (PQt, h)
+            hat_x = jnp.concatenate(hx_parts, axis=0)
             s = jnp.dot(hat_y.astype(compute_dtype),
                         v_refs[l][0, 0].astype(compute_dtype),
                         preferred_element_type=jnp.float32)   # (PQt, D*w)
@@ -199,17 +209,17 @@ def _make_fused_kernel(shapes_eff, D, P, compute_dtype, interpret):
                                              "compute_dtype_name", "interpret"))
 def _deform_attn_fused(g, *vs, shapes_eff, P, H, q_tile, compute_dtype_name,
                        interpret=False):
-    """g (B, H, L*3P, Qp); vs[l] (B, H, c_l, D*f_l) with (c_l, f_l)=shapes_eff[l]
-    -> (B, Qp, H*D) f32."""
+    """g (B, H, Qp, L*3P) — query-major (see _make_fused_kernel); vs[l]
+    (B, H, c_l, D*f_l) with (c_l, f_l)=shapes_eff[l] -> (B, Qp, H*D) f32."""
     B = g.shape[0]
-    Qp = g.shape[3]
+    Qp = g.shape[2]
     D = vs[0].shape[3] // shapes_eff[0][1]
     compute_dtype = jnp.dtype(compute_dtype_name)
     L = len(shapes_eff)
 
     flops = sum(2 * B * H * Qp * P * (c + D) * f * D for c, f in shapes_eff)
-    in_specs = [pl.BlockSpec((1, 1, 3 * P * L, q_tile),
-                             lambda b, hd, q: (b, hd, 0, q),
+    in_specs = [pl.BlockSpec((1, 1, q_tile, 3 * P * L),
+                             lambda b, hd, q: (b, hd, q, 0),
                              memory_space=pltpu.VMEM)]
     for c_l, f_l in shapes_eff:
         in_specs.append(pl.BlockSpec((1, 1, c_l, D * f_l),
@@ -247,15 +257,15 @@ def _forward_fused(value, spatial_shapes, sampling_locations, attention_weights,
 
     vt = value.transpose(0, 2, 1, 3).reshape(B, H, N, D)
     vt = vt.astype(jnp.dtype(compute_dtype_name))
-    g_rows, vs, shapes_eff = [], [], []
+    g_cols, vs, shapes_eff = [], [], []
     start = 0
     for l, (h_l, w_l) in enumerate(spatial_shapes):
         hw = int(h_l) * int(w_l)
         v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=2)
         start += hw
-        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 3, 1) * h_l - 0.5  # (B,H,P,Q)
-        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 3, 1) * w_l - 0.5
-        aw = attw[:, :, :, l].transpose(0, 2, 3, 1)
+        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 1, 3) * h_l - 0.5  # (B,H,Q,P)
+        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 1, 3) * w_l - 0.5
+        aw = attw[:, :, :, l].transpose(0, 2, 1, 3)
         if w_l < h_l:  # fold x
             v_arr = v_l.reshape(B, H, h_l, w_l, D).transpose(0, 1, 2, 4, 3)
             v_arr = v_arr.reshape(B, H, h_l, D * w_l)
@@ -265,19 +275,22 @@ def _forward_fused(value, spatial_shapes, sampling_locations, attention_weights,
             v_arr = v_arr.reshape(B, H, w_l, D * h_l)
             gy, gx = gx, gy
             shapes_eff.append((int(w_l), int(h_l)))
-        if pad_q:
-            padv = ((0, 0), (0, 0), (0, 0), (0, pad_q))
-            gy = jnp.pad(gy, padv, constant_values=-10.0)
-            gx = jnp.pad(gx, padv, constant_values=-10.0)
-            aw = jnp.pad(aw, padv)
-        g_rows.extend([gy, gx, aw])
+        g_cols.extend([gy, gx, aw])
         vs.append(v_arr)
-    g = jnp.concatenate(g_rows, axis=2)  # (B, H, L*3P, Qp), level-major rows
+    # query-major g: (B, H, Qp, L*3P), columns [gy(P); gx(P); aw(P)] per level.
+    # Padded query rows use -10 everywhere: their hats are identically zero, so
+    # the padded aw value is irrelevant (rows are dropped by out[:, :Q]).
+    g = jnp.concatenate(g_cols, axis=3)
+    if pad_q:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)),
+                    constant_values=-10.0)
 
-    # VMEM: the largest level's stage-1 buffer (f32) + bf16 epilogue must fit
+    # the fp32 stage-1 buffers + bf16 epilogue of all levels must fit VMEM
     qt = min(q_tile, Qp)
-    biggest = max(D * f for _, f in shapes_eff)
-    while P * qt * biggest * 6 > 12 * 2 ** 20 and qt > 64 and Qp % (qt // 2) == 0:
+    total = sum(D * f for _, f in shapes_eff)
+    if Qp % (2 * qt) == 0 and P * 2 * qt * total * 6 <= 48 * 2 ** 20:
+        qt *= 2  # encoder-scale Q: fewer, fatter cells measure ~3% faster
+    while P * qt * total * 6 > 48 * 2 ** 20 and qt > 64 and Qp % (qt // 2) == 0:
         qt //= 2
     out = _deform_attn_fused(g, *vs, shapes_eff=tuple(shapes_eff), P=P, H=H,
                              q_tile=qt, compute_dtype_name=compute_dtype_name,
@@ -339,22 +352,30 @@ def _bwd_sample_kernel(g_ref, v_ref, comb_ref, gout_ref, out_ref, *, h, w, D, P,
                        compute_dtype, interpret=False):
     """Grid cell: one (b*h, q-tile). Emits gradients for sampling locations and
     attention weights.
-    g (1, 3P, Qt) rows [gy; gx; aw]; v (1, h, D*w) channel-major; comb (D*w, D);
-    gout (1, Qt, D) upstream; out (1, 3P, Qt) rows [dgy; dgx; daw]."""
-    g = g_ref[0]
-    Qt = g.shape[1]
-    gy = g[:P]
-    gx = g[P:2 * P]
-    aw = g[2 * P:3 * P]
-
-    iy = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, h), 2).astype(jnp.float32)
-    dy = iy - gy[..., None]
-    hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy)).reshape(P * Qt, h)
-    dhy = jnp.where(jnp.abs(dy) < 1.0, jnp.sign(dy), 0.0).reshape(P * Qt, h)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w), 2).astype(jnp.float32)
-    dx = ix - gx[..., None]
-    hx = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).reshape(P * Qt, w)
-    dhx = jnp.where(jnp.abs(dx) < 1.0, jnp.sign(dx), 0.0).reshape(P * Qt, w)
+    g (1, Qt, 3P) query-major, columns [gy(P); gx(P); aw(P)] (the lane-major row
+    layout forced a lanes->sublanes relayout per hat broadcast — see
+    _make_fused_kernel); v (1, h, D*w) channel-major; comb (D*w, D);
+    gout (1, Qt, D) upstream; out (1, 3P, Qt) rows [dgy; dgx; daw].
+    aw is folded into dhy/dhx (it scales only the location grads; the forward
+    hats s/hx stay unweighted so z_a gives daw directly)."""
+    Qt = g_ref.shape[1]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Qt, h), 1).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Qt, w), 1).astype(jnp.float32)
+    hy_p, dhy_p, hx_p, dhx_p = [], [], [], []
+    for p in range(P):
+        gy = g_ref[0, :, p:p + 1]                                     # (Qt, 1)
+        gx = g_ref[0, :, P + p:P + p + 1]
+        aw = g_ref[0, :, 2 * P + p:2 * P + p + 1]
+        dy = iy - gy
+        hy_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(dy)))
+        dhy_p.append(jnp.where(jnp.abs(dy) < 1.0, jnp.sign(dy), 0.0) * aw)
+        dx = ix - gx
+        hx_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(dx)))
+        dhx_p.append(jnp.where(jnp.abs(dx) < 1.0, jnp.sign(dx), 0.0) * aw)
+    hy = jnp.concatenate(hy_p, axis=0)                                # (PQt, h)
+    dhy = jnp.concatenate(dhy_p, axis=0)
+    hx = jnp.concatenate(hx_p, axis=0)
+    dhx = jnp.concatenate(dhx_p, axis=0)
 
     v = v_ref[0].astype(compute_dtype)
     s = jnp.dot(hy.astype(compute_dtype), v,
@@ -373,8 +394,8 @@ def _bwd_sample_kernel(g_ref, v_ref, comb_ref, gout_ref, out_ref, *, h, w, D, P,
 
     gout = gout_ref[0]                                                # (Qt, D)
     da = (z_a.reshape(P, Qt, D) * gout[None]).sum(-1)                 # (P, Qt)
-    dgy = (z_gy.reshape(P, Qt, D) * gout[None]).sum(-1) * aw
-    dgx = (z_gx.reshape(P, Qt, D) * gout[None]).sum(-1) * aw
+    dgy = (z_gy.reshape(P, Qt, D) * gout[None]).sum(-1)
+    dgx = (z_gx.reshape(P, Qt, D) * gout[None]).sum(-1)
     out_ref[0, :P] = dgy
     out_ref[0, P:2 * P] = dgx
     out_ref[0, 2 * P:3 * P] = da
@@ -383,20 +404,23 @@ def _bwd_sample_kernel(g_ref, v_ref, comb_ref, gout_ref, out_ref, *, h, w, D, P,
 def _bwd_value_kernel(g_ref, gout_ref, expand_ref, out_ref, *, h, w, D, P,
                       compute_dtype, interpret=False):
     """Grid: (b*h parallel, q-tiles sequential-accumulating).
-    g (1, 3P, Qt); gout (1, Qt, D); expand (D, D*w) with expand[d, d'w+x]=(d==d');
-    out (1, h, D*w) += hy^T @ [repeat(hx*a, D) * (Gp @ expand)]."""
-    g = g_ref[0]
-    Qt = g.shape[1]
-    gy = g[:P]
-    gx = g[P:2 * P]
-    aw = g[2 * P:3 * P]
-
-    # hy directly transposed: (h, P, Qt) -> (h, P*Qt)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, P, Qt), 0).astype(jnp.float32)
-    hyT = jnp.maximum(0.0, 1.0 - jnp.abs(yy - gy[None])).reshape(h, P * Qt)
-    ix = jax.lax.broadcasted_iota(jnp.int32, (P, Qt, w), 2).astype(jnp.float32)
-    hxa = (jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx[..., None]))
-           * aw[..., None]).reshape(P * Qt, w)
+    g (1, Qt, 3P) query-major (see _bwd_sample_kernel); gout (1, Qt, D);
+    expand (D, D*w) with expand[d, d'w+x]=(d==d');
+    out (1, h, D*w) += hy^T @ [repeat(hx*a, D) * (Gp @ expand)].
+    hy^T is NOT materialized: the MXU contracts hy's row axis natively via
+    dot_general (transpose_lhs), so hats build in the cheap query-major layout."""
+    Qt = g_ref.shape[1]
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Qt, h), 1).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Qt, w), 1).astype(jnp.float32)
+    hy_p, hxa_p = [], []
+    for p in range(P):
+        gy = g_ref[0, :, p:p + 1]                                     # (Qt, 1)
+        gx = g_ref[0, :, P + p:P + p + 1]
+        aw = g_ref[0, :, 2 * P + p:2 * P + p + 1]
+        hy_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(iy - gy)))
+        hxa_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(ix - gx)) * aw)
+    hy = jnp.concatenate(hy_p, axis=0)                                # (PQt, h)
+    hxa = jnp.concatenate(hxa_p, axis=0)                              # (PQt, w)
 
     gout = gout_ref[0].astype(compute_dtype)                          # (Qt, D)
     gp = _repeat_rows(gout, P, interpret)                             # (PQt, D)
@@ -404,8 +428,10 @@ def _bwd_value_kernel(g_ref, gout_ref, expand_ref, out_ref, *, h, w, D, P,
                    preferred_element_type=jnp.float32)                # (PQt, D*w)
     m = _repeat_cols(hxa.astype(compute_dtype), D, interpret) \
         * gexp.astype(compute_dtype)
-    acc = jnp.dot(hyT.astype(compute_dtype), m,
-                  preferred_element_type=jnp.float32)                 # (h, D*w)
+    acc = jax.lax.dot_general(
+        hy.astype(compute_dtype), m,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                           # (h, D*w)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -431,9 +457,9 @@ def _repeat_rows(x, n, interpret):
                                              "compute_dtype_name", "interpret"))
 def _deform_attn_level_bwd(v, g, gout, *, h, w, P, q_tile, compute_dtype_name,
                            interpret=False):
-    """v (BH, h, D*w); g (BH, 3P, Qp); gout (BH, Qp, D) ->
+    """v (BH, h, D*w); g (BH, Qp, 3P) query-major; gout (BH, Qp, D) ->
     (dg (BH, 3P, Qp) [dgy; dgx; daw], dv (BH, h, D*w))."""
-    BH, _, Qp = g.shape
+    BH, Qp, _ = g.shape
     D = gout.shape[2]
     compute_dtype = jnp.dtype(compute_dtype_name)
     comb = (jax.lax.broadcasted_iota(jnp.int32, (D * w, D), 0) // w
@@ -450,7 +476,7 @@ def _deform_attn_level_bwd(v, g, gout, *, h, w, P, q_tile, compute_dtype_name,
         out_shape=jax.ShapeDtypeStruct((BH, 3 * P, Qp), jnp.float32),
         grid=(BH, Qp // q_tile),
         in_specs=[
-            pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
+            pl.BlockSpec((1, q_tile, 3 * P), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, D * w), lambda b, q: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -475,7 +501,7 @@ def _deform_attn_level_bwd(v, g, gout, *, h, w, P, q_tile, compute_dtype_name,
         out_shape=jax.ShapeDtypeStruct((BH, h, D * w), jnp.float32),
         grid=(BH, Qp // q_tile),
         in_specs=[
-            pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
+            pl.BlockSpec((1, q_tile, 3 * P), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, q_tile, D), lambda b, q: (b, q, 0),
                          memory_space=pltpu.VMEM),
@@ -614,9 +640,9 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
         v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=1)
         start += hw
 
-        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 3, 1).reshape(BH, P, Q)
-        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 3, 1).reshape(BH, P, Q)
-        aw = attw[:, :, :, l].transpose(0, 2, 3, 1).reshape(BH, P, Q)
+        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 1, 3).reshape(BH, Q, P)
+        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 1, 3).reshape(BH, Q, P)
+        aw = attw[:, :, :, l].transpose(0, 2, 1, 3).reshape(BH, Q, P)
         gy = gy * h_l - 0.5
         gx = gx * w_l - 0.5
 
@@ -630,12 +656,13 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
             v_arr = v_arr.reshape(BH, w_l, D * h_l)
             gy, gx = gx, gy
             h_eff, w_eff = int(w_l), int(h_l)
+        # query-major (BH, Qp, 3P); padded rows get -10 everywhere — hats and
+        # derivative hats are identically zero there (|dy| >= 9), so padded
+        # rows contribute nothing to dv and their dg rows are sliced away
+        g = jnp.concatenate([gy, gx, aw], axis=2)
         if pad_q:
-            padv = ((0, 0), (0, 0), (0, pad_q))
-            gy = jnp.pad(gy, padv, constant_values=-10.0)
-            gx = jnp.pad(gx, padv, constant_values=-10.0)
-            aw = jnp.pad(aw, padv)
-        g = jnp.concatenate([gy, gx, aw], axis=1)  # (BH, 3P, Qp)
+            g = jnp.pad(g, ((0, 0), (0, pad_q), (0, 0)),
+                        constant_values=-10.0)
 
         # the backward keeps TWO stage-1 buffers (s and s') alive -> halve the
         # q-tile until both fit comfortably in scoped VMEM
