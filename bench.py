@@ -109,14 +109,17 @@ def main():
         "runs": [round(r, 3) for r in rates],
     }), flush=True)
 
-    # crowded-tracker variant: threshold 0 keeps every top-k candidate valid, so
-    # the tracker fills toward max_num_instances and the finalize stage packs
-    # ~120 instead of ~0 instances — random weights with the real threshold
-    # leave the tracker empty, hiding any occupancy-dependent cost.
+    # crowded-tracker variant: threshold 0 keeps every top-k candidate valid AND
+    # the dedup/suppression gates are disabled (random-weight detections are
+    # near-identical, so with the real gates the tracker correctly collapses
+    # them to ~10 tracks and the occupancy-dependent association/finalize costs
+    # are never exercised). With the gates off the tracker fills to
+    # max_num_instances within the first clips.
     inf_crowd = InferenceCfg(clip_stride=1, n_frames_test=4,
                              n_frames_window_test=30, max_num_instances=120,
                              apply_cls_thres=0.0, detections_per_image=15,
-                             clip_topk=150, encode_chunk=10, num_classes=25)
+                             clip_topk=150, encode_chunk=10, num_classes=25,
+                             dedup_sim=2.0, suppress_siou=2.0, suppress_ctt=2.0)
     run(inf_crowd)  # warm-up (thresholds are static args -> fresh compile)
     crates = []
     for _ in range(2):
@@ -129,6 +132,7 @@ def main():
         "unit": "clips/s",
         "vs_baseline": round(max(crates) / 10.0, 3),
         "median": round(float(np.median(crates)), 3),
+        "tracker_occupancy": out.get("num_tracks", -1),
         "tracks_emitted": len(out["pred_scores"]),
     }), flush=True)
 

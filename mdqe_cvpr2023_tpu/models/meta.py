@@ -45,6 +45,19 @@ class InferenceCfg:
     num_classes: int = 25
     bf16_encode: bool = True       # fp32 backbone+encoder when False (parity tests)
     coco_topk: int = 100           # fixed COCO per-image detection slab
+    # reference thresholds, overridable for benchmarking (the crowded-tracker
+    # bench disables dedup/suppression so random-weight detections survive and
+    # the tracker actually fills): inference_clip's 0.99 query-sim dedup
+    # (mdqe.py:389-395) and OverTracker's repeat suppression (:170-181)
+    dedup_sim: float = 0.99
+    suppress_siou: float = 0.4
+    suppress_ctt: float = 0.6
+    # HBM allowance for deferred per-window avg slabs ((M+1, W+T, h4, w4) f32);
+    # within it, mask finalization waits for the final top-k so only selected
+    # rows are upsampled/transferred. Past it, oldest windows finalize all
+    # their live rows immediately (exact, slower). 2 GiB keeps ~7 windows of
+    # 360p / ~2 of 720p live on a 16 GB chip.
+    slab_hbm_budget: int = 2 << 30
 
 
 # ---------------------------------------------------------------------------
@@ -52,7 +65,8 @@ class InferenceCfg:
 # ---------------------------------------------------------------------------
 
 def postprocess_clip(cls_probs, mask_coeff, query_embeds, mask_feats,
-                     apply_cls_thres: float, topk: int):
+                     apply_cls_thres: float, topk: int,
+                     dedup_sim: float = 0.99):
     """cls_probs (Q,K) sigmoid, mask_coeff (Q,M), query_embeds (Q,C),
     mask_feats (T,H,W,M). Returns a fixed top-k slab:
     scores (k,), classes (k,), cls (k,K), masks (k,T,H,W), embeds (k,C), valid (k,)."""
@@ -72,7 +86,7 @@ def postprocess_clip(cls_probs, mask_coeff, query_embeds, mask_feats,
     rank = jnp.argsort(order)  # rank[i] = position of i in sorted order
     higher = (rank[None, :] < rank[:, None]) & keep[None, :]  # j strictly higher-ranked
     max_sim = jnp.max(jnp.where(higher, sim, neg), axis=1)
-    keep = keep & (max_sim < 0.99)
+    keep = keep & (max_sim < dedup_sim)
 
     # masks for all queries: (Q,T,H,W)
     masks = jnp.einsum("qm,thwm->qthw", mask_coeff, mask_feats)
@@ -188,14 +202,15 @@ def window_mask_feats(params, model_cfg: MDQEModelCfg, encoded, spatial_shapes):
 
 @functools.partial(jax.jit,
                    static_argnames=("model_cfg", "spatial_shapes", "n_frames",
-                                    "apply_cls_thres", "topk"))
+                                    "apply_cls_thres", "topk", "dedup_sim"))
 def decode_and_postprocess_clip(params, model_cfg: MDQEModelCfg, encoded, mask_flat,
                                 spatial_shapes, mask_feats, n_frames: int,
-                                apply_cls_thres: float, topk: int):
+                                apply_cls_thres: float, topk: int,
+                                dedup_sim: float = 0.99):
     out = decoder_apply(params["transformer_dec"], model_cfg.decoder_cfg, encoded,
                         mask_flat, spatial_shapes, n_frames, training=False)
     return postprocess_clip(out["cls"][0], out["mask_coeff"][0], out["query_embed"][0],
-                            mask_feats, apply_cls_thres, topk)
+                            mask_feats, apply_cls_thres, topk, dedup_sim)
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
@@ -228,11 +243,11 @@ def decode_clip_windowed(params, model_cfg: MDQEModelCfg, window_encoded,
                                        apply_cls_thres, topk)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(1, 6, 7, 8, 9, 10))
 def _decode_clips_batched(params, model_cfg: MDQEModelCfg, window_encoded,
                           window_mask_flat, window_mask_feats, offsets,
                           spatial_shapes, n_frames: int, apply_cls_thres: float,
-                          topk: int):
+                          topk: int, dedup_sim: float = 0.99):
     """Decode S clips of one window in a single launch (offsets (S,) int32 are
     each clip's first frame within the window). One-clip-per-dispatch decoding
     is launch-bound (~14 ms for ~2 ms of matmuls at B=1); batching the
@@ -251,7 +266,8 @@ def _decode_clips_batched(params, model_cfg: MDQEModelCfg, window_encoded,
                         mfl.reshape(S * n_frames, -1),
                         spatial_shapes, n_frames, training=False)
     return jax.vmap(
-        lambda c, m, q, f: postprocess_clip(c, m, q, f, apply_cls_thres, topk)
+        lambda c, m, q, f: postprocess_clip(c, m, q, f, apply_cls_thres, topk,
+                                            dedup_sim)
     )(out["cls"], out["mask_coeff"], out["query_embed"], mfe)
 
 
@@ -360,6 +376,41 @@ def _finalize_window(window_out, inf_cfg: InferenceCfg, image_size, ori_size):
     return out_cls_dev, n, chunks, len_frames
 
 
+@functools.partial(jax.jit, donate_argnums=())
+def _take_rows(a, idx):
+    return jnp.take(a, idx, axis=0)
+
+
+def _finalize_selected(window_out, rows, inf_cfg: InferenceCfg, image_size,
+                       ori_size):
+    """Upsample + bit-pack ONLY the given live rows of a deferred window's avg
+    slab. Returns {row: (len_frames, oh, ceil(ow/8)) uint8}. Rows are gathered
+    on device in fixed-size chunks (padded with repeats) so the finalize jit
+    compiles once."""
+    from ..tracking.device_tracker import finalize_avg_chunk
+    out_cls_dev, num_inst_dev, avg_dev, len_frames = window_out
+    FCH = min(8, inf_cfg.max_num_instances + 1)
+    pend = []
+    for c0 in range(0, len(rows), FCH):
+        blk = rows[c0:c0 + FCH]
+        idx = np.asarray(blk + [blk[-1]] * (FCH - len(blk)), np.int32)
+        sel = _take_rows(avg_dev, jnp.asarray(idx))
+        ch = _timed("finalize_chunk_dispatch", finalize_avg_chunk, sel,
+                    inf_cfg.match_stride, tuple(image_size), tuple(ori_size))
+        ch = ch[:len(blk), :len_frames]
+        try:
+            ch.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append((blk, ch))
+    rowmap = {}
+    for blk, ch in pend:
+        ch_np = _timed("finalize_sync", np.asarray, ch)
+        for j, r in enumerate(blk):
+            rowmap[r] = ch_np[j]
+    return rowmap
+
+
 def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                   frames: np.ndarray, image_size: Tuple[int, int],
                   ori_size: Tuple[int, int],
@@ -411,10 +462,15 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                         num_frames=T_clip, window_frames=W_win,
                         clip_stride=stride, num_classes=inf_cfg.num_classes,
                         embed_dim=model_cfg.hidden_dim, mask_hw=mask_hw,
-                        apply_cls_thres=inf_cfg.apply_cls_thres)
+                        apply_cls_thres=inf_cfg.apply_cls_thres,
+                        suppress_siou=inf_cfg.suppress_siou,
+                        suppress_ctt=inf_cfg.suppress_ctt)
     state = tracker_state_init(tr_cfg)
     if repl is not None:
         state = jax.device_put(state, repl)
+    slab_bytes = 4 * (inf_cfg.max_num_instances + 1) * tr_cfg.mem_length \
+        * mask_hw[0] * mask_hw[1]
+    keep_slabs = max(2, int(inf_cfg.slab_hbm_budget) // slab_bytes)
     # host shadow of the frame bookkeeping (reference clip_offsets semantics)
     start_frame = 0
     saved_idx: set = set()
@@ -537,7 +593,8 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
             offs_dev = dev_const(_f0_cache, offs, np.asarray(offs, np.int32))
             res = _timed("decode_dispatch", _decode_clips_batched, params,
                          model_cfg, enc, mflat, maskf, offs_dev, shapes,
-                         T_clip, inf_cfg.apply_cls_thres, inf_cfg.clip_topk)
+                         T_clip, inf_cfg.apply_cls_thres, inf_cfg.clip_topk,
+                         inf_cfg.dedup_sim)
             batch_res = {g: res}  # keep only the current batch alive
         state = _timed("clip_dispatch", _TRACKER_STEP, state, tr_cfg,
                        batch_res[g], j, f0_dev, ov_dev)
@@ -557,11 +614,16 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
                     pass
             window_outputs.append((out_cls_dev, num_inst_dev, avg_dev,
                                    len_frames))
-            # bound the deferred list: once two newer windows exist, window w's
-            # count sync has certainly landed (the queue is FIFO), so finalize
-            # it now and release its (M+1, L, h4, w4) fp32 avg slab — otherwise
-            # HBM grows linearly with video length (one ~75 MB slab per window)
-            if len(window_outputs) > 2:
+            # Defer mask finalization to video end when HBM allows: the final
+            # top-k selection needs only the (tiny) cls scores, so deferred
+            # windows upsample + transfer ONLY the selected rows instead of all
+            # live ones (at 120 live instances the all-rows path costs ~6 s per
+            # 36-frame video in upsample + d2h). Slabs are ~(M+1, W+T, h4, w4)
+            # fp32; beyond the budget the OLDEST window falls back to the
+            # all-live-rows path (exact, just slower). Eviction only when >=2
+            # newer windows exist, so the evicted window's count sync has
+            # landed (FIFO queue) and never blocks the pipeline.
+            if len(window_outputs) > keep_slabs:
                 finalized.append(_finalize_window(window_outputs.pop(0),
                                                   inf_cfg, image_size, ori_size))
             saved_clips += 1
@@ -576,33 +638,86 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
         if is_last_clip:
             break
 
-    # video-end finalize: sync the (tiny) instance counts, then upsample/bit-pack
-    # ONLY the live instances (finalizing all M+1 rows costs ~350 ms of device
-    # time + >100 MB of d2h per window). Finalization of window w is deferred
-    # until window w+2 exists (see the loop above), so mid-video the count sync
-    # never blocks the pipeline and at most 3 full avg slabs are live on device.
-    finalized += [_finalize_window(wo, inf_cfg, image_size, ori_size)
-                  for wo in window_outputs]
-    pred_cls_clips, pred_masks_clips = [], []
+    # ---- video end: select FIRST, materialize masks second ----
+    # The final top-k (reference inference_video :430-471) depends only on the
+    # per-window cls scores, which are tiny and already on their way to the
+    # host. So: merge cls -> top-k -> upsample/bit-pack/transfer masks only for
+    # the SELECTED instances of still-deferred windows. Output-identical to the
+    # reference order (which materializes every live instance's full-res mask
+    # per window) and turns the dominant crowded-video cost from O(live
+    # instances) into O(top-k). Budget-evicted windows already transferred all
+    # their live rows (exact either way).
+    win_cls, win_len, win_src = [], [], []
     for out_cls_dev, n, chunks, len_frames in finalized:
-        pred_cls_clips.append(np.asarray(out_cls_dev)[:n])
-        if n > 0:
-            pred_masks_clips.append(np.concatenate(
-                [_timed("finalize_sync", np.asarray, ch) for ch in chunks]))
+        win_cls.append(np.asarray(out_cls_dev)[:n])
+        win_len.append(len_frames)
+        win_src.append(("full", n, chunks))
+    for wo in window_outputs:
+        out_cls_dev, num_inst_dev, _, len_frames = wo
+        n = int(_timed("count_sync", np.asarray, num_inst_dev))
+        win_cls.append(np.asarray(out_cls_dev)[:n])
+        win_len.append(len_frames)
+        win_src.append(("slab", n, wo))
+
+    out_scores, out_labels, inst_idx, total = inference_video(inf_cfg, win_cls)
+
+    # materialize masks: full windows fetch their (already-transferring)
+    # chunks; deferred windows finalize only the selected rows
+    sel_rows = sorted({int(i) for i in inst_idx})
+    pw = -(-ori_size[1] // 8)
+    win_masks = []  # per window: ndarray (n, L, oh, pw) OR (n, dict row->mask)
+    for (kind, n, src), len_frames in zip(win_src, win_len):
+        if kind == "full":
+            if n > 0:
+                win_masks.append(np.concatenate(
+                    [_timed("finalize_sync", np.asarray, ch) for ch in src]))
+            else:
+                win_masks.append(np.zeros((0, len_frames, ori_size[0], pw),
+                                          np.uint8))
         else:
-            pred_masks_clips.append(np.zeros(
-                (0, len_frames, ori_size[0], -(-ori_size[1] // 8)), np.uint8))
-    out = _timed("merge_video", inference_video, inf_cfg, ori_size,
-                 pred_cls_clips, pred_masks_clips)
+            rows = [r for r in sel_rows if r < n]
+            win_masks.append((n, _finalize_selected(src, rows, inf_cfg,
+                                                    image_size, ori_size)))
+
+    def _assemble():
+        ow = ori_size[1]
+        out_masks = []
+        for i in inst_idx:
+            parts = []
+            for wm, len_frames in zip(win_masks, win_len):
+                if isinstance(wm, tuple):
+                    n, rowmap = wm
+                    m = rowmap.get(int(i)) if i < n else None
+                else:
+                    m = wm[i] if i < wm.shape[0] else None
+                if m is None:
+                    parts.append(np.zeros((len_frames,) + tuple(ori_size), bool))
+                else:
+                    # unpackbits yields 0/1 uint8 -> view(bool) is copy-free
+                    parts.append(
+                        np.unpackbits(m, axis=-1)[..., :ow].view(bool))
+            out_masks.append(np.concatenate(parts, axis=0))  # (T, oh, ow)
+        return out_masks
+
+    out = {
+        "image_size": ori_size,
+        "pred_scores": out_scores,
+        "pred_labels": out_labels,
+        "pred_masks": _timed("merge_video", _assemble),
+        # tracker occupancy at the final window (diagnostic; the crowded bench
+        # reports it to prove the occupancy-dependent costs were exercised)
+        "num_tracks": int(total),
+    }
     if real_len < video_len:  # drop the short-video padding frames
         out["pred_masks"] = [m[:real_len] for m in out["pred_masks"]]
     return out
 
 
-def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
-                    pred_masks_clips):
-    """Merge per-window results into final video predictions (reference :430-471).
-    pred_masks_clips hold bit-packed binary masks at original size per window."""
+def inference_video(inf_cfg: InferenceCfg, pred_cls_clips):
+    """Final score merge + top-k selection (reference inference_video
+    :430-471, minus mask materialization which inference_vis now does lazily
+    for the selected instances only). pred_cls_clips: per-window (n_w, K) cls
+    scores. Returns (scores, labels, instance row indices, total rows)."""
     total = pred_cls_clips[-1].shape[0]
     padded_cls = []
     for cls in pred_cls_clips:
@@ -617,28 +732,8 @@ def inference_video(inf_cfg: InferenceCfg, ori_size, pred_cls_clips,
     flat = out_cls.reshape(-1)
     num_topk = max(int((flat > 0.05).sum()), 10)
     top_idx = np.argsort(-flat)[:num_topk]
-    out_scores = flat[top_idx].tolist()
-    out_labels = labels[top_idx].tolist()
-    inst_idx = top_idx // K
-
-    ow = ori_size[1]
-    out_masks = []
-    for i in inst_idx:
-        parts = []
-        for m in pred_masks_clips:
-            if i < m.shape[0]:
-                unpacked = np.unpackbits(m[i], axis=-1)[..., :ow].astype(bool)
-            else:
-                unpacked = np.zeros((m.shape[1],) + tuple(ori_size), bool)
-            parts.append(unpacked)
-        out_masks.append(np.concatenate(parts, axis=0))  # (T_total, oh, ow) bool
-
-    return {
-        "image_size": ori_size,
-        "pred_scores": out_scores,
-        "pred_labels": out_labels,
-        "pred_masks": out_masks,
-    }
+    return (flat[top_idx].tolist(), labels[top_idx].tolist(),
+            top_idx // K if total else top_idx, int(total))
 
 
 # ---------------------------------------------------------------------------

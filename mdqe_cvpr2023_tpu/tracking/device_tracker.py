@@ -41,6 +41,10 @@ class TrackerCfg:
     apply_cls_thres: float
     siou_match_threshold: float = 0.1
     ctt_match_threshold: float = 0.5
+    # repeat-detection suppression gates (reference OverTracker.py:170-181);
+    # the crowded bench raises them to 2.0 to disable suppression
+    suppress_siou: float = 0.4
+    suppress_ctt: float = 0.6
     beta_siou: float = 1.0
     beta_ctt: float = 1.0
 
@@ -172,7 +176,8 @@ def tracker_step(state, cfg: TrackerCfg, scores, cls_probs, masks, embeds, valid
     siou_p = jnp.where(pair, -1.0, siou_scores)
     mem_p = jnp.where(pair, 0.0, scores_mem)
     repeated = (valid & ~col_matched
-                & ((siou_p.max(axis=0) > 0.4) | (mem_p.max(axis=0) > 0.6)))
+                & ((siou_p.max(axis=0) > cfg.suppress_siou)
+                   | (mem_p.max(axis=0) > cfg.suppress_ctt)))
 
     # ---- new-ID registration (reference :180-193); on the very first clip all
     # valid detections register without the score threshold ----
