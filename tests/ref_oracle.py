@@ -38,8 +38,24 @@ def _install_msda_shim():
         out = (samp * w).sum((-1, -2))  # (N*M, D, Lq)
         return out.reshape(N, M, D, Lq).permute(0, 3, 1, 2).reshape(N, Lq, M * D)
 
+    def ms_deform_attn_backward(value, spatial_shapes, level_start_index,
+                                sampling_locations, attention_weights,
+                                grad_output, im2col_step):
+        """Backward via autograd of the pure-torch forward (the real ext's
+        col2im kernels, ms_deform_attn_cuda.cu:83-153) — lets gradients flow
+        through the reference modules for gradient-parity oracles."""
+        value = value.detach().requires_grad_(True)
+        loc = sampling_locations.detach().requires_grad_(True)
+        attw = attention_weights.detach().requires_grad_(True)
+        with torch.enable_grad():
+            out = ms_deform_attn_forward(value, spatial_shapes,
+                                         level_start_index, loc, attw,
+                                         im2col_step)
+        return torch.autograd.grad(out, (value, loc, attw), grad_output)
+
     mod = types.ModuleType("MultiScaleDeformableAttention")
     mod.ms_deform_attn_forward = ms_deform_attn_forward
+    mod.ms_deform_attn_backward = ms_deform_attn_backward
     sys.modules["MultiScaleDeformableAttention"] = mod
 
 
