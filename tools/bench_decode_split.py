@@ -61,10 +61,15 @@ def main():
     sizes = jax.device_put(
         np.broadcast_to(np.array([H, W], np.int32), (CH, 2)).copy(), dev)
     enc1 = encode_window(params, cfg, chunk_u8, sizes, mean, std, shapes)
-    n_rep = 2  # >= 8+T frames
+    S_BATCH = 8
+    # Same window geometry as bench_inference_stages.py so decode8_full_ms is
+    # comparable, and enough frames that every dynamic_slice start is in range.
+    n_rep = max(-(-inf.n_frames_window_test // CH),
+                -(-(S_BATCH - 1 + T) // CH))
+    assert n_rep * CH >= S_BATCH - 1 + T
     encoded, mask_flat, maskf = (
         jnp.concatenate([p] * n_rep, axis=0) for p in enc1)
-    offs = jax.device_put(np.arange(8, dtype=np.int32), dev)
+    offs = jax.device_put(np.arange(S_BATCH, dtype=np.int32), dev)
 
     t_full = bench(
         lambda: _decode_clips_batched(params, cfg, encoded, mask_flat, maskf,
@@ -72,7 +77,7 @@ def main():
                                       inf.clip_topk, inf.dedup_sim),
         lambda o: np.asarray(o["scores"][0, :4]))
 
-    S = 8
+    S = int(offs.shape[0])
 
     @functools.partial(jax.jit, static_argnums=(1,))
     def dec_only(params, cfg, encoded, mask_flat, offs):
