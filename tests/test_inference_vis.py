@@ -202,3 +202,35 @@ def test_inference_vis_mesh_equivalence():
         inter = np.logical_and(mb, ms).sum()
         union = np.logical_or(mb, ms).sum()
         assert union == 0 or inter / union >= 0.99, (inter, union)
+
+
+@pytest.mark.slow
+def test_slab_budget_eviction_equivalence():
+    """A tiny slab_hbm_budget forces keep_slabs FIFO eviction mid-video
+    (meta.py keep_slabs / window_outputs.pop(0)): evicted windows take the
+    eager all-live-rows finalize path instead of the deferred selected-rows
+    path. Both paths are exact, so outputs must be bit-identical to the
+    unconstrained run (reference materializes every window eagerly,
+    /root/reference/mdqe/mdqe.py:351-366 — equivalence is the spec)."""
+    import dataclasses
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(7)
+    video = rng.integers(0, 255, (18, 60, 62, 3)).astype(np.uint8)
+    frames, _ = preprocess_frames(video, np.array([123.675, 116.28, 103.53]),
+                                  np.array([58.395, 57.12, 57.375]))
+
+    # 18 frames / W_win=4 -> 5 window outputs; budget=1 byte -> keep_slabs=2
+    # (the max(2, ...) floor), so 3 windows are FIFO-evicted mid-video
+    inf_small = dataclasses.replace(INF, slab_hbm_budget=1)
+    out_ref = inference_vis(params, TINY, INF, frames, image_size=(60, 62),
+                            ori_size=(120, 124))
+    out_evict = inference_vis(params, TINY, inf_small, frames,
+                              image_size=(60, 62), ori_size=(120, 124))
+
+    np.testing.assert_array_equal(np.asarray(out_ref["pred_scores"]),
+                                  np.asarray(out_evict["pred_scores"]))
+    np.testing.assert_array_equal(np.asarray(out_ref["pred_labels"]),
+                                  np.asarray(out_evict["pred_labels"]))
+    assert len(out_ref["pred_masks"]) == len(out_evict["pred_masks"])
+    for a, b in zip(out_ref["pred_masks"], out_evict["pred_masks"]):
+        np.testing.assert_array_equal(a, b)
