@@ -322,3 +322,58 @@ def test_matcher_and_losses_parity_degenerate_boxes():
     for k in ("loss_cls", "loss_bbox", "loss_giou", "loss_mask", "loss_dice"):
         np.testing.assert_allclose(our_l[k], ref_l[k], rtol=2e-4, atol=2e-5,
                                    err_msg=k)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_reid_loss_parity_exhaustive_regime(seed):
+    """Value-level oracle for the contrastive reid loss in the regime where BOTH
+    implementations must select every candidate, so the reference's randperm
+    sampling and our masked-top-k sampling coincide (reference
+    criterion.py:540-602): per instance, same-ID queries in the fired area
+    <= max(n_neg//5, 2) positives and different-ID fired queries <= 50*T
+    negatives. The fired-window restriction (w=2 < max relpos) is exercised."""
+    import jax
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.losses.criterion import _reid_loss_video
+    from mdqe_cvpr2023_tpu.models.decoder import query_relpos_grid
+
+    nb, T, E, window = 4, 2, 8, 2
+    Qn = nb * nb
+    rng = np.random.default_rng(seed)
+
+    # 3 instances; ids laid out so each has 1-2 same-ID queries inside its
+    # anchor's fired window and plenty of -1/other-id fired negatives
+    q_ids = np.full((T, Qn), -1, np.int64)
+    q_ids[0, 1] = 0; q_ids[0, 2] = 0          # inst 0: anchor (0,1), one extra pos
+    q_ids[0, 9] = 1; q_ids[1, 9] = 1          # inst 1: pos in both frames
+    q_ids[1, 4] = 2                           # inst 2: single query
+    q_ids[0, 14] = 1                          # a different-id fired candidate
+    embeds = rng.standard_normal((T, Qn, E)).astype(np.float32) * 0.5
+
+    _, criterion = _ref_modules(False, T)
+    criterion.n_queries = Qn
+    criterion.n_query_bins = nb
+    i, j = torch.meshgrid(torch.arange(nb), torch.arange(nb))
+    idxg = torch.stack([j, i], dim=-1).view(-1, 2)
+    criterion.query_relpos_grid = (idxg[:, None] - idxg[None]).abs()
+    criterion.window_inter_frame_asso = window
+    with torch.no_grad():
+        ref_ctt, ref_aux = criterion.loss_reid_query_init(
+            torch.from_numpy(embeds)[None], torch.from_numpy(q_ids)[None])
+
+    from mdqe_cvpr2023_tpu.losses import CriterionCfg
+    cfg = CriterionCfg(num_classes=5, n_frames=T, n_query=Qn,
+                       window_inter_frame_asso=window)
+    N = 3
+    gt_ids = np.tile(np.arange(N)[:, None], (1, T)).astype(np.int32)
+    gt_valid = np.ones((N,), bool)
+    relpos = jnp.asarray(query_relpos_grid(nb))
+    ctt_sum, aux_sum, cnt = _reid_loss_video(
+        cfg, jnp.asarray(embeds), jnp.asarray(q_ids, jnp.int32),
+        jnp.asarray(gt_ids), jnp.asarray(gt_valid), relpos,
+        jax.random.PRNGKey(seed))
+    assert float(cnt) == N
+    np.testing.assert_allclose(float(ctt_sum) / N, float(ref_ctt),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(aux_sum) / N, float(ref_aux),
+                               rtol=1e-4, atol=1e-5)
