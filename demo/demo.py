@@ -31,9 +31,18 @@ def parse_args():
     return p.parse_args()
 
 
-def color_for(i):
-    rng = np.random.default_rng(i * 7 + 3)
-    return rng.integers(60, 255, 3).astype(np.uint8)
+def build_metadata(dataset_names):
+    """thing_classes/thing_colors for the configured dataset family (the
+    reference demo pulls these from the D2 MetadataCatalog)."""
+    from mdqe_cvpr2023_tpu.data.categories import (OVIS_CATEGORIES,
+                                                   YTVIS_CATEGORIES_2019,
+                                                   YTVIS_CATEGORIES_2021)
+    name = (dataset_names or [""])[0]
+    cats = (OVIS_CATEGORIES if "ovis" in name else
+            YTVIS_CATEGORIES_2019 if "2019" in name else YTVIS_CATEGORIES_2021)
+    cats = sorted(cats, key=lambda c: c["id"])
+    return {"thing_classes": [c["name"] for c in cats],
+            "thing_colors": [c.get("color", (130, 130, 130)) for c in cats]}
 
 
 def read_frames(vid_path):
@@ -91,22 +100,21 @@ def main():
         return inference_vis(trainer.params, trainer.model_cfg, trainer.inf_cfg,
                              proc, image_size=(th, tw), ori_size=(H, W))
 
+    from visualizer import TrackVisualizer
+    viz = TrackVisualizer(metadata=build_metadata(cfg.DATASETS.TEST))
+
     def render(vid_path, frames, out):
         H, W = frames[0].shape[:2]
-        keep = [i for i, s in enumerate(out["pred_scores"])
-                if s > args.confidence_threshold]
+        n = sum(1 for s in out["pred_scores"] if s > args.confidence_threshold)
         name = os.path.splitext(os.path.basename(vid_path.rstrip("/")))[0]
         writer = cv2.VideoWriter(os.path.join(args.output, f"{name}.mp4"),
                                  cv2.VideoWriter_fourcc(*"mp4v"), args.fps, (W, H))
-        for t, frame in enumerate(frames):
-            vis = frame.copy()
-            for j, i in enumerate(keep):
-                m = out["pred_masks"][i][t]
-                col = color_for(i)
-                vis[m] = (0.5 * vis[m] + 0.5 * col).astype(np.uint8)
+        for vis in viz.draw_video(frames, out["pred_masks"], out["pred_labels"],
+                                  out["pred_scores"],
+                                  score_threshold=args.confidence_threshold):
             writer.write(vis[:, :, ::-1])
         writer.release()
-        print(f"wrote {name}.mp4 with {len(keep)} instances")
+        print(f"wrote {name}.mp4 with {n} instances")
 
     # inference of video k+1 overlaps rendering of video k (the reference's
     # AsyncPredictor purpose, demo/predictor.py:123-128, thread-based here);

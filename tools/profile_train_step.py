@@ -51,6 +51,7 @@ def main():
     from mdqe_cvpr2023_tpu.utils.compile_cache import enable as enable_cache
     from bench import _load_or_init_params
 
+    amp = os.environ.get("TRAIN_BENCH_AMP") == "1"
     B, T, Hp, Wp, N = 2, 4, 512, 800, 20
     cfg = MDQEModelCfg(backbone="resnet50", num_classes=25, hidden_dim=256,
                        n_heads=8, enc_layers=6, dec_layers=6, n_frames=T,
@@ -82,20 +83,26 @@ def main():
     # ---- forward pieces ----
     @jax.jit
     def fwd_encode(params, images, sizes, rng):
+        if amp:
+            import jax.numpy as _jnp
+            images = images.astype(_jnp.bfloat16)
+            params = jax.tree.map(
+                lambda x: x.astype(_jnp.bfloat16) if x.dtype == _jnp.float32 else x,
+                params)
         return detr_encode(params, cfg, images, sizes, 0.1, rng)[0]
 
     @jax.jit
     def fwd_full(params, batch, rng):
         out = detr_apply_backbone(params, cfg, batch["images"],
                                   batch["image_sizes"], n_frames=T,
-                                  training=True, drop_rate=0.1, rng=rng)
+                                  training=True, drop_rate=0.1, rng=rng, amp=amp)
         return out
 
     @jax.jit
     def fwd_loss(params, batch, rng):
         out = detr_apply_backbone(params, cfg, batch["images"],
                                   batch["image_sizes"], n_frames=T,
-                                  training=True, drop_rate=0.1, rng=rng)
+                                  training=True, drop_rate=0.1, rng=rng, amp=amp)
         match_masks, masks8 = prepare_targets_device(
             batch["masks"], batch["images"].shape[1:3], 4)
         targets = {"labels": batch["labels"], "ids": batch["ids"],
@@ -108,7 +115,7 @@ def main():
 
     tx = make_optimizer(TrainCfg())
     opt_state = tx.init(params)
-    step = make_train_step(cfg, crit, tx)
+    step = make_train_step(cfg, crit, tx, amp=amp)
 
     res = {}
     res["fwd_encode"] = timed(
