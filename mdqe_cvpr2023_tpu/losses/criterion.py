@@ -81,19 +81,30 @@ def weighted_sigmoid_focal_loss(logits, targets, dist_weight, num_boxes,
 # per-layer hungarian losses (single video; vmapped over batch)
 # ---------------------------------------------------------------------------
 
-def _per_video_layer(cfg: CriterionCfg, cls_logits, boxes, coeff, proto, tgt):
+def _per_video_layer(cfg: CriterionCfg, cls_logits, boxes, coeff, proto, tgt,
+                     amp: bool = False):
     """cls_logits (Q,K); boxes (Q,T,4); coeff (Q,M); proto (T,h,w,M); tgt dict.
-    Returns partial sums (to be combined over the batch) + assignment stats."""
+    Returns partial sums (to be combined over the batch) + assignment stats.
+
+    amp=True keeps the big (Q,THW) mask tensors and their (Q,THW)x(THW,N)
+    matmuls in bf16 with fp32 accumulations/reductions (every .sum over THW is
+    explicitly fp32); the box/class terms and all final sums stay fp32. The
+    f32 path is bit-identical to the pre-AMP code."""
+    cdt = jnp.bfloat16 if amp else jnp.float32
     Q, K = cls_logits.shape
     T = boxes.shape[1]
+    boxes = boxes.astype(jnp.float32)
     prob = jax.nn.sigmoid(cls_logits.astype(jnp.float32))
-    out_masks = jnp.einsum("qm,thwm->qthw", coeff.astype(jnp.float32),
-                           proto.astype(jnp.float32))  # (Q,T,h,w)
+    out_masks = jnp.einsum("qm,thwm->qthw", coeff.astype(cdt),
+                           proto.astype(cdt),
+                           preferred_element_type=jnp.float32
+                           ).astype(cdt)  # (Q,T,h,w)
 
     gt_valid = tgt["valid"]
     N = gt_valid.shape[0]
     cost, giou = hungarian_match_costs(prob, boxes, out_masks, tgt["labels"],
-                                       tgt["boxes"], tgt["match_masks"], gt_valid)
+                                       tgt["boxes"], tgt["match_masks"], gt_valid,
+                                       compute_dtype=cdt)
     A = jax.lax.stop_gradient(dynamic_k_matching(cost, giou, gt_valid))  # (Q,N)
 
     num_matched = A.sum()
@@ -122,12 +133,14 @@ def _per_video_layer(cfg: CriterionCfg, cls_logits, boxes, coeff, proto, tgt):
     loss_giou_sum = (A[:, :, None] * (1.0 - giou_ft) * valid_ft[None]).sum()
 
     # ---- masks (+ optional inter-instance repulsion) ----
-    tm = (tgt["match_masks"].astype(jnp.float32)
-          * gt_valid[:, None, None, None]).reshape(N, -1)  # (N,THW)
+    tm = (tgt["match_masks"].astype(cdt)
+          * gt_valid[:, None, None, None].astype(cdt)).reshape(N, -1)  # (N,THW)
     om = out_masks.reshape(Q, -1)
     thw = om.shape[1]
     pos = jax.nn.softplus(-om)
     neg = jax.nn.softplus(om)
+    mm = lambda a, b: jnp.einsum("qp,np->qn", a, b,
+                                 preferred_element_type=jnp.float32)
 
     if cfg.interinst_enabled:
         # neighbor union (incl self) per gt: video-box-IoU (wh clamped) > threshold
@@ -137,26 +150,29 @@ def _per_video_layer(cfg: CriterionCfg, cls_logits, boxes, coeff, proto, tgt):
         adj = jnp.concatenate([xy_c - 0.5 * wh_c, xy_c + 0.5 * wh_c], -1)
         biou = video_box_iou(adj, adj)[0].max(-1)  # (N,N)
         neighbor = (biou > cfg.interinst_threshold) & gt_valid[None] & gt_valid[:, None]
-        u = ((neighbor.astype(jnp.float32) @ (tm > 0.5).astype(jnp.float32)) > 0) \
-            .astype(jnp.float32)  # (N,THW) union incl self
+        u = (jnp.einsum("mn,np->mp", neighbor.astype(cdt),
+                        (tm > 0.5).astype(cdt),
+                        preferred_element_type=jnp.float32) > 0).astype(cdt)
         # BCE with pixel weights (1 + union):
         w_t = tm * (1.0 + u)
         w_nt = (1.0 - tm) * (1.0 + u)
-        bce_pair = pos @ w_t.T + neg @ w_nt.T           # (Q,N)
-        wsum = jnp.clip((1.0 + u).sum(-1), 1.0, None)   # (N,)
+        bce_pair = mm(pos, w_t) + mm(neg, w_nt)         # (Q,N) f32
+        wsum = jnp.clip((1.0 + u).sum(-1, dtype=jnp.float32), 1.0, None)  # (N,)
         loss_mask_sum = (A * (bce_pair / wsum[None])).sum()
         # dice with background-repulsion term (u' = u & ~t):
         up = u * (1.0 - (tm > 0.5))
         fg = jax.nn.sigmoid(om)
         bg = jax.nn.sigmoid(-om)
-        num_pair = 2.0 * (fg @ tm.T) + bg @ up.T
-        den_pair = fg.sum(-1)[:, None] + tm.sum(-1)[None] + up.sum(-1)[None]
+        num_pair = 2.0 * mm(fg, tm) + mm(bg, up)
+        den_pair = fg.sum(-1, dtype=jnp.float32)[:, None] \
+            + tm.sum(-1, dtype=jnp.float32)[None] \
+            + up.sum(-1, dtype=jnp.float32)[None]
         dice_pair = 1.0 - (num_pair + 1.0) / (den_pair + 1.0)
         loss_dice_sum = (A * dice_pair).sum()
     else:
-        bce_pair = (pos @ tm.T + neg @ (1.0 - tm).T) / thw
+        bce_pair = (mm(pos, tm) + mm(neg, 1.0 - tm)) / thw
         loss_mask_sum = (A * bce_pair).sum()
-        dice_pair = batch_dice_cost(om, tm)
+        dice_pair = batch_dice_cost(om, tm, cdt)
         loss_dice_sum = (A * dice_pair).sum()
 
     return {
@@ -170,13 +186,13 @@ def _per_video_layer(cfg: CriterionCfg, cls_logits, boxes, coeff, proto, tgt):
 
 
 def _hungarian_layer_losses(cfg: CriterionCfg, cls_l, boxes_l, coeff_l, proto,
-                            targets):
+                            targets, amp: bool = False):
     """One decoder layer over the whole batch. cls_l (B,Q,K), boxes_l (B,Q,T,4),
     coeff_l (B,Q,M), proto (B,T,h,w,M)."""
     parts = jax.vmap(lambda c, bx, cf, pr, tv, tl, tb, tm, ti:
                      _per_video_layer(cfg, c, bx, cf, pr,
                                       {"valid": tv, "labels": tl, "boxes": tb,
-                                       "match_masks": tm, "ids": ti}))(
+                                       "match_masks": tm, "ids": ti}, amp))(
         cls_l, boxes_l, coeff_l, proto, targets["valid"], targets["labels"],
         targets["boxes"], targets["match_masks"], targets["ids"])
 
@@ -336,7 +352,8 @@ def _reid_loss_video(cfg: CriterionCfg, embeds, q_ids, gt_ids, gt_valid,
 # top-level criterion
 # ---------------------------------------------------------------------------
 
-def criterion_apply(cfg: CriterionCfg, outputs, targets, relpos_grid, rng):
+def criterion_apply(cfg: CriterionCfg, outputs, targets, relpos_grid, rng,
+                    amp: bool = False):
     """outputs: decoder training dict ('cls' (L,B,Q,K), 'boxes' (L,B,Q,T,4),
     'mask_coeff' (L,B,Q,M), 'proto' (BT,h,w,M), 'query_init' aux, 'query_coords').
     targets: padded batch dict (see prepare_targets). Returns (total, dict)."""
@@ -354,7 +371,8 @@ def criterion_apply(cfg: CriterionCfg, outputs, targets, relpos_grid, rng):
     # temps -> spilling ~2.3x the whole train step). Recomputing them in the
     # backward costs ~0.1 s.
     ckpt_layer = jax.checkpoint(
-        lambda c, b, m, pr: _hungarian_layer_losses(cfg, c, b, m, pr, targets),
+        lambda c, b, m, pr: _hungarian_layer_losses(cfg, c, b, m, pr, targets,
+                                                    amp),
         static_argnums=())
     for l in range(L):
         ld = ckpt_layer(outputs["cls"][l], outputs["boxes"][l],

@@ -24,22 +24,29 @@ INF = 1e5
 BIG = 1e9
 
 
-def batch_dice_cost(inputs, targets):
-    """inputs (Q, THW) logits, targets (N, THW) float -> (Q, N)."""
-    p = jax.nn.sigmoid(inputs.astype(jnp.float32))
-    num = 2.0 * (p @ targets.T)
-    den = p.sum(-1)[:, None] + targets.sum(-1)[None]
+def batch_dice_cost(inputs, targets, compute_dtype=jnp.float32):
+    """inputs (Q, THW) logits, targets (N, THW) float -> (Q, N) f32.
+    compute_dtype=bfloat16 runs the big (Q,THW)x(THW,N) matmuls in bf16 with
+    fp32 accumulation (AMP); reductions are always fp32."""
+    p = jax.nn.sigmoid(inputs.astype(compute_dtype))
+    t = targets.astype(compute_dtype)
+    num = 2.0 * jnp.einsum("qp,np->qn", p, t,
+                           preferred_element_type=jnp.float32)
+    den = p.sum(-1, dtype=jnp.float32)[:, None]         + t.sum(-1, dtype=jnp.float32)[None]
     return 1.0 - (num + 1.0) / (den + 1.0)
 
 
-def batch_sigmoid_ce_cost(inputs, targets):
-    """inputs (Q, THW) logits, targets (N, THW) float -> (Q, N) mean BCE."""
-    x = inputs.astype(jnp.float32)
+def batch_sigmoid_ce_cost(inputs, targets, compute_dtype=jnp.float32):
+    """inputs (Q, THW) logits, targets (N, THW) float -> (Q, N) f32 mean BCE."""
+    x = inputs.astype(compute_dtype)
+    t = targets.astype(compute_dtype)
     thw = x.shape[1]
     # BCE(x, 1) = softplus(-x); BCE(x, 0) = softplus(x)
     pos = jax.nn.softplus(-x)
     neg = jax.nn.softplus(x)
-    return (pos @ targets.T + neg @ (1.0 - targets.T)) / thw
+    return (jnp.einsum("qp,np->qn", pos, t, preferred_element_type=jnp.float32)
+            + jnp.einsum("qp,np->qn", neg, 1.0 - t,
+                         preferred_element_type=jnp.float32)) / thw
 
 
 def get_in_boxes_info(boxes, gt_boxes, expanded_strides=32):
@@ -103,7 +110,8 @@ def dynamic_k_matching(cost, ious, gt_valid, n_candidate_k=10):
 
 
 def hungarian_match_costs(out_prob, out_boxes, out_masks, tgt_labels, tgt_boxes,
-                          tgt_match_masks, gt_valid):
+                          tgt_match_masks, gt_valid,
+                          compute_dtype=jnp.float32):
     """Single-video cost assembly (reference :179-232).
 
     out_prob (Q,K) sigmoid; out_boxes (Q,T,4) xyxy; out_masks (Q,T,h,w) logits;
@@ -114,9 +122,10 @@ def hungarian_match_costs(out_prob, out_boxes, out_masks, tgt_labels, tgt_boxes,
     labels = jnp.clip(tgt_labels, 0, K - 1)
     cost_class = -out_prob[:, labels]                             # (Q,N)
 
-    tm = tgt_match_masks.reshape(N, -1).astype(jnp.float32)
+    tm = tgt_match_masks.reshape(N, -1).astype(compute_dtype)
     om = out_masks.reshape(Q, -1)
-    cost_mask = batch_sigmoid_ce_cost(om, tm) + batch_dice_cost(om, tm)
+    cost_mask = batch_sigmoid_ce_cost(om, tm, compute_dtype) \
+        + batch_dice_cost(om, tm, compute_dtype)
 
     gt_wh = box_xyxy_to_cxcywh(tgt_boxes)[..., 2:]
     valid_box = jnp.all(gt_wh > 0, -1)                            # (N,T)

@@ -262,7 +262,9 @@ def _decoder_layer(p, cfg: DecoderCfg, x, x_pos, x_ref_boxes, x_inst, x_inst_pos
     B = BT // T
     tw = fnn.linear(p["time_weights"], shortcut_w.reshape(B, T, Q, C))  # (B,T,Q,1)
     sx = shortcut_x.reshape(B, T, Q, C)
-    x_inst2 = (jax.nn.softmax(tw, axis=1) * sx).sum(axis=1)  # (B,Q,C)
+    # fp32 softmax island (exact no-op on the f32 path)
+    x_inst2 = (jax.nn.softmax(tw.astype(jnp.float32), axis=1).astype(sx.dtype)
+               * sx).sum(axis=1)  # (B,Q,C)
 
     if cfg.use_tca:
         frames = _tca_frames(T, cfg.n_frames)
@@ -315,14 +317,16 @@ def decoder_loop(params, cfg: DecoderCfg, x, x_ref_points, src, spatial_shapes,
     x_inst = x.reshape(B, T, Q, C)[:, ct]
 
     def refine(x, x_ref_boxes):
-        off = fnn.mlp(bbox, fnn.layer_norm(dn, x))
+        # box path stays fp32 under AMP (x may be bf16): offsets are cast up,
+        # positional projections cast back down to the compute dtype
+        off = fnn.mlp(bbox, fnn.layer_norm(dn, x)).astype(jnp.float32)
         boxes = jax.nn.sigmoid(off + inverse_sigmoid(x_ref_boxes))
         ref = jax.lax.stop_gradient(boxes)
-        return boxes, ref, fnn.linear(p2p, boxes[..., :2])
+        return boxes, ref, fnn.linear(p2p, boxes[..., :2]).astype(x.dtype)
 
     x_boxes, x_ref_boxes, x_pos = refine(x, x_ref_boxes)
     x_inst_ref_boxes = _clip_ref_boxes(cfg, x_ref_boxes, T)
-    x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2])
+    x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2]).astype(x.dtype)
 
     # scan over the identical layers: one compiled (layer + refine) body instead of
     # n_layers unrolled copies — the decoder graph (box+instance level deform attn
@@ -346,7 +350,7 @@ def decoder_loop(params, cfg: DecoderCfg, x, x_ref_points, src, spatial_shapes,
                                    lrng)
         x_boxes, x_ref_boxes, x_pos = refine(x, x_ref_boxes)
         x_inst_ref_boxes = _clip_ref_boxes(cfg, x_ref_boxes, T)
-        x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2])
+        x_inst_pos = fnn.linear(p2p, x_inst_ref_boxes[..., :2]).astype(x.dtype)
         carry = (x, x_inst, x_ref_boxes, x_pos, x_inst_ref_boxes, x_inst_pos)
         return carry, (x, x_inst, x_boxes)
 

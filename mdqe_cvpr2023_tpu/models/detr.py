@@ -201,10 +201,13 @@ def detr_apply_backbone(params, cfg: MDQEModelCfg, images, image_sizes,
     """Full forward: encode + decode. Returns the decoder output dict.
     drop_rate/rng enable the reference's 0.1 transformer dropout during training.
 
-    amp=True runs backbone + input projections + encoder in bf16 (fp32 islands
-    inside the deform-attn sampling math) and hands the decoder fp32 inputs —
-    the TPU analog of the reference's SOLVER.AMP autocast training, which keeps
-    the decoder and losses fp32 (transformer_dec.py:446, criterion.py:540).
+    amp=True runs backbone + input projections + encoder AND the decoder in
+    bf16 — the TPU analog of the reference's SOLVER.AMP autocast training —
+    with the reference's fp32 islands kept: deform-attn sampling/weight math
+    (ms_deform_attn.py:118,175), the box-refinement path (inverse_sigmoid +
+    reference points), softmaxes, and norm statistics. Loss-facing outputs
+    (cls logits, mask coeff, proto) come back bf16; the criterion casts or
+    accumulates in fp32 (the reid loss is fully fp32, criterion.py:540).
     Params stay fp32 masters; the cast is differentiable so grads accumulate
     in fp32."""
     enc_rng = jax.random.fold_in(rng, 1) if rng is not None else None
@@ -212,13 +215,13 @@ def detr_apply_backbone(params, cfg: MDQEModelCfg, images, image_sizes,
     p = params
     if amp:
         images = images.astype(jnp.bfloat16)
-        bf16_sub = jax.tree.map(
+        p = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            {k: params[k] for k in ("backbone", "input_proj", "transformer_enc")})
-        p = dict(params, **bf16_sub)
+            params)
     encoded, mask_flat, spatial_shapes = detr_encode(p, cfg, images, image_sizes,
                                                      drop_rate, enc_rng)
-    encoded = encoded.astype(jnp.float32)
-    return decoder_apply(params["transformer_dec"], cfg.decoder_cfg, encoded, mask_flat,
+    if not amp:
+        encoded = encoded.astype(jnp.float32)
+    return decoder_apply(p["transformer_dec"], cfg.decoder_cfg, encoded, mask_flat,
                          spatial_shapes, n_frames, training, is_coco=is_coco,
                          drop_rate=drop_rate, rng=dec_rng)

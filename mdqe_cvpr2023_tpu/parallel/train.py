@@ -40,7 +40,9 @@ class TrainCfg:
     warmup_iters: int = 10
     warmup_factor: float = 1.0
     gamma: float = 0.1
-    amp: bool = False  # bf16 backbone+encoder (reference SOLVER.AMP.ENABLED)
+    # bf16 backbone+encoder+decoder and bf16-matmul criterion with fp32
+    # islands/accumulation (reference SOLVER.AMP.ENABLED)
+    amp: bool = False
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -117,7 +119,8 @@ def make_train_step(model_cfg: MDQEModelCfg, crit_cfg: CriterionCfg, tx,
             "labels": batch["labels"], "ids": batch["ids"], "boxes": batch["boxes"],
             "valid": batch["valid"], "match_masks": match_masks, "masks8": masks8,
         }
-        total, ldict = criterion_apply(crit_cfg, out, targets, relpos, rng)
+        total, ldict = criterion_apply(crit_cfg, out, targets, relpos, rng,
+                                       amp=amp)
         return total, ldict
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))

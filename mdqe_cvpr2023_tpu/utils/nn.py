@@ -189,7 +189,8 @@ def mha(p, q, k, v, num_heads):
     kh = kh.reshape(B, Lk, num_heads, dh).transpose(0, 2, 1, 3)
     vh = vh.reshape(B, Lk, num_heads, dh).transpose(0, 2, 1, 3)
     attn = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / math.sqrt(dh)
-    attn = jax.nn.softmax(attn, axis=-1)
+    # fp32 softmax island (exact no-op for f32 activations)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(qh.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
     out = out.transpose(0, 2, 1, 3).reshape(B, Lq, C)
     return linear(p["out_proj"], out)
