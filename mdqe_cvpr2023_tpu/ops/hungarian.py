@@ -61,36 +61,49 @@ def lsa_minimize(cost, row_mask=None):
     def _row_body(uvp, i):
         u, v, p = uvp
         p = p.at[0].set(i)
-        minv = jnp.full(C + 1, _INF)
-        way = jnp.zeros(C + 1, jnp.int32)
-        used = jnp.zeros(C + 1, bool)
+
+        # Deferred-dual JV: the classic formulation updates u/v/minv with a
+        # full-vector scatter + two where-updates EVERY while iteration; since
+        # the loop is sequential, those vector ops set the per-clip latency
+        # (measured ~20 ms/clip at 120 live instances). Reformulated with a
+        # running prefix D = sum of deltas: store M[j] = min_t (cur_t[j] +
+        # D_{t-1}) instead of the decayed minv (effective minv = M - D, so
+        # delta = M[j1] - D and simply D <- M[j1]); record Dat[j] = D when j
+        # becomes used, and commit the duals ONCE per row at loop exit:
+        # v[used] -= D_end - Dat, u[p[used]] += D_end - Dat. Identical
+        # assignments (same argmin sequence), ~2x less work per iteration.
+        M0 = jnp.full(C + 1, _INF)
+        way0 = jnp.zeros(C + 1, jnp.int32)
+        used0 = jnp.zeros(C + 1, bool)
+        dat0 = jnp.zeros(C + 1, jnp.float32)
 
         def cond(st):
-            _, _, p_, j0, *_ = st
-            return p_[j0] != 0
+            j0, *_ = st
+            return p[j0] != 0
 
         def body(st):
-            u_, v_, p_, j0, minv_, way_, used_ = st
-            used_ = used_.at[j0].set(True)
-            i0 = p_[j0]
-            # relax: cur_j = a[i0-1, j-1] - u[i0] - v[j] over unmatched cols
-            cur = a[i0 - 1] - u_[i0] - v_[1:]          # (C,)
-            cur = jnp.concatenate([jnp.full((1,), _INF), cur])
-            cur = jnp.where(used_, _INF, cur)
-            upd = cur < minv_
-            minv_ = jnp.where(upd, cur, minv_)
-            way_ = jnp.where(upd, j0, way_)
-            masked = jnp.where(used_, _INF, minv_)
+            j0, D, M, way, used, dat = st
+            used = used.at[j0].set(True)
+            dat = dat.at[j0].set(D)
+            i0 = p[j0]
+            # relax in base coordinates: cur_j = a[i0-1, j-1] - u[i0] - v[j]
+            cur = a[i0 - 1] - u[i0] - v[1:]            # (C,)
+            cur = jnp.concatenate([jnp.full((1,), _INF), cur]) + D
+            cur = jnp.where(used, _INF, cur)
+            upd = cur < M
+            M = jnp.where(upd, cur, M)
+            way = jnp.where(upd, j0, way)
+            masked = jnp.where(used, _INF, M)
             j1 = jnp.argmin(masked).astype(jnp.int32)
-            delta = masked[j1]
-            # dual update
-            u_ = u_.at[p_].add(jnp.where(used_, delta, 0.0))  # scatter-add by p over used cols
-            v_ = jnp.where(used_, v_ - delta, v_)
-            minv_ = jnp.where(used_, minv_, minv_ - delta)
-            return u_, v_, p_, j1, minv_, way_, used_
+            return j1, masked[j1], M, way, used, dat
 
-        u, v, p, j0, minv, way, used = jax.lax.while_loop(
-            cond, body, (u, v, p, jnp.int32(0), minv, way, used))
+        j0, D, M, way, used, dat = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(0.0), M0, way0, used0, dat0))
+
+        # commit duals once (used columns only; column 0 carries u[i])
+        adj = jnp.where(used, D - dat, 0.0)
+        v = v - adj
+        u = u.at[p].add(adj)
 
         # augment along way back to the virtual column
         def aug_cond(st):
