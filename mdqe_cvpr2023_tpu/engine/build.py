@@ -18,10 +18,6 @@ def build_model_cfg(cfg: CfgNode) -> MDQEModelCfg:
         from ..models.swin import SwinCfg
         sw = cfg.MODEL.SWIN
         backbone = f"swin_{sw.TYPE}"
-        if sw.get("APE", False):
-            raise NotImplementedError(
-                "MODEL.SWIN.APE: no reference preset enables it (backbone/"
-                "config.py:16,34,52,70) and it is not implemented")
         # build_swin_backbone selects v1 (swin_transformer.py:646), the
         # v2 builders (build_swinv2_backbone) select v2
         version = 1 if "swinv2" not in name.lower() else 2
@@ -30,7 +26,9 @@ def build_model_cfg(cfg: CfgNode) -> MDQEModelCfg:
                        window_size=sw.WINDOW_SIZE,
                        patch_size=sw.get("PATCH_SIZE", 4),
                        version=version,
-                       drop_path_rate=float(sw.get("DROP_PATH_RATE", 0.0)))
+                       drop_path_rate=float(sw.get("DROP_PATH_RATE", 0.0)),
+                       ape=bool(sw.get("APE", False)),
+                       pretrain_img_size=int(sw.get("PRETRAIN_IMG_SIZE", 224)))
     else:
         backbone = f"resnet{cfg.MODEL.RESNETS.DEPTH}"
     m = cfg.MODEL.MDQE

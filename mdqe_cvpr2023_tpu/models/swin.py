@@ -12,7 +12,9 @@ pre-norm blocks (x = shortcut + attn(norm1(x))), scaled dot-product attention wi
 learned relative-position-bias table (:94-134), full qkv bias, PatchMerging with norm
 BEFORE reduction (:255-291), constant window size across stages (:330).
 APE (absolute position embedding, off in every reference preset,
-backbone/config.py:16,34,52,70) is not implemented.
+backbone/config.py:16,34,52,70): learned (1, C, H0, W0) embedding at the
+pretrain patch resolution, bicubic-resized (exact torch kernel via static
+interpolation matrices) and added after patch embed (:504-509, 595-598).
 
 Training-time stochastic depth (timm DropPath, reference v1 :228 / v2 :287-288,
 rate linearly spaced 0 -> drop_path_rate over all blocks) applies when an rng is
@@ -47,6 +49,10 @@ class SwinCfg:
     out_stages: Tuple[int, ...] = (1, 2, 3)  # stage3..5 = strides 8/16/32
     version: int = 2           # 1 = swin_transformer.py, 2 = swin_transformer_v2.py
     drop_path_rate: float = 0.0  # reference configs train with 0.2
+    # absolute position embedding (reference swin_transformer.py:504-509,
+    # 595-598 — OFF in every reference preset, backbone/config.py:16,34,52,70)
+    ape: bool = False
+    pretrain_img_size: int = 224
 
     @property
     def emit_stages(self) -> Tuple[int, ...]:
@@ -251,6 +257,30 @@ def _patch_merge(p, x, version: int = 2):
     return fnn.layer_norm(p["norm"], x)
 
 
+@lru_cache(maxsize=None)
+def _bicubic_matrix(n_out: int, n_in: int, a: float = -0.75) -> np.ndarray:
+    """Dense 1-D bicubic interpolation matrix (n_out, n_in) with torch
+    F.interpolate(mode='bicubic', align_corners=False) semantics: half-pixel
+    source positions, Keys kernel a=-0.75, edge-clamped taps. Static shapes ->
+    built once in numpy; the 2-D resize is then two small matmuls (MXU)."""
+    def k(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(src))
+        for tap in range(x0 - 1, x0 + 3):
+            m[i, min(max(tap, 0), n_in - 1)] += k(src - tap)
+    return m
+
+
 def swin_apply(params, x, cfg: SwinCfg = SwinCfg(), rng=None):
     """x (B, H, W, 3) -> list of NHWC stage outputs (strides 8, 16, 32 for MDQE).
     rng != None enables training-time stochastic depth at cfg.drop_path_rate."""
@@ -265,6 +295,15 @@ def swin_apply(params, x, cfg: SwinCfg = SwinCfg(), rng=None):
                                      dimension_numbers=("NHWC", "OIHW", "NHWC"))
     x = x + params["patch_embed"]["proj"]["bias"]
     x = fnn.layer_norm(params["patch_embed"]["norm"], x)
+    if cfg.ape:
+        # param kept in the torch layout (1, C, H0, W0) so checkpoints load
+        # with no tensor surgery; bicubic-resized to the runtime patch grid
+        # (reference swin_transformer.py:595-598)
+        ape = params["absolute_pos_embed"][0].astype(jnp.float32)  # (C, H0, W0)
+        ky = jnp.asarray(_bicubic_matrix(x.shape[1], ape.shape[1]))
+        kx = jnp.asarray(_bicubic_matrix(x.shape[2], ape.shape[2]))
+        ape = jnp.einsum("hH,cHW,wW->hwc", ky, ape, kx)
+        x = x + ape[None].astype(x.dtype)
 
     outs = []
     for i, depth in enumerate(cfg.depths):
@@ -331,6 +370,11 @@ def swin_init(key, cfg: SwinCfg = SwinCfg()):
         },
         "layers": [],
     }
+    if cfg.ape:
+        r = cfg.pretrain_img_size // cfg.patch_size
+        # trunc_normal_(std=.02) on the torch-layout (1, C, H0, W0) param
+        params["absolute_pos_embed"] = 0.02 * jax.random.truncated_normal(
+            next(ki), -2.0, 2.0, (1, cfg.embed_dim, r, r))
     for i, depth in enumerate(cfg.depths):
         dim = cfg.stage_dim(i)
         d_ffn = int(dim * cfg.mlp_ratio)

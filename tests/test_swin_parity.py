@@ -92,3 +92,39 @@ def test_swin_drop_path_train_eval():
     same = swin_apply(params, x, cfg0, rng=jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(eval_out[-1]), np.asarray(same[-1]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_swin_v1_ape_parity():
+    """APE (absolute position embedding): reference swin_transformer.py:504-509
+    trunc-normal (1,C,H0,W0) param, bicubic-resized to the runtime patch grid
+    and added after patch embed (:595-598). Covers both the identity path
+    (input at the pretrain resolution) and a genuinely resized grid — the
+    static interpolation matrices must match torch's bicubic exactly."""
+    SwinV1 = load_reference_swin_v1()
+    torch.manual_seed(3)
+    cfg = SwinCfg(embed_dim=32, depths=(2, 2), num_heads=(2, 4), window_size=4,
+                  out_stages=(0, 1), version=1, ape=True, pretrain_img_size=32)
+    ref = SwinV1(pretrain_img_size=32, patch_size=4, embed_dim=32,
+                 depths=[2, 2], num_heads=[2, 4], window_size=4,
+                 drop_path_rate=0.0, ape=True, frozen_stages=-1,
+                 out_features=["stage2", "stage3"])
+    ref.eval()
+    with torch.no_grad():  # make the APE non-trivial (init is zeros+trunc_normal)
+        ref.absolute_pos_embed.mul_(50.0)
+
+    sd = {"detr.backbone.0.backbone." + k: v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    params = convert_torch_state_dict(sd)["backbone"]
+    assert "absolute_pos_embed" in params
+
+    rng = np.random.default_rng(5)
+    for hw in [(32, 32), (40, 52)]:  # identity resize and true bicubic resize
+        x = rng.standard_normal((2, *hw, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)).contiguous())
+        outs = swin_apply(params, jnp.asarray(x), cfg)
+        for i, name in enumerate(["stage2", "stage3"]):
+            exp = expected[name].numpy()
+            got = np.moveaxis(np.asarray(outs[i]), -1, 1)
+            np.testing.assert_allclose(got, exp, atol=3e-4, rtol=3e-4,
+                                       err_msg=f"{name} @ {hw}")
