@@ -130,7 +130,7 @@ def get_default_config() -> CfgNode:
             "OPTIMIZER": "ADAMW", "BACKBONE_MULTIPLIER": 0.1,
             "CLIP_GRADIENTS": {"ENABLED": True, "CLIP_TYPE": "full_model",
                                "CLIP_VALUE": 0.01, "NORM_TYPE": 2.0},
-            # bf16 backbone+encoder with fp32 islands (reference SOLVER.AMP,
+            # bf16 model + bf16-matmul criterion with fp32 islands (reference SOLVER.AMP,
             # configs/R50_coco.yaml:41-42; off by default like the reference)
             "AMP": {"ENABLED": False},
             "CHECKPOINT_PERIOD": 2000, "NUM_PRETRAIN_FRAMES": 1,

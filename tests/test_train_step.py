@@ -86,7 +86,7 @@ def test_train_step_data_parallel_mesh():
 
 @pytest.mark.slow
 def test_train_step_amp_decreases_loss():
-    """AMP mode (bf16 backbone+encoder, fp32 decoder/losses — the reference
+    """AMP mode (bf16 model + bf16-matmul criterion, fp32 islands — the reference
     SOLVER.AMP analog): finite losses that decrease when overfitting a batch."""
     params = detr_init(jax.random.PRNGKey(0), TINY)
     tc = TrainCfg(base_lr=1e-3, steps=(1000,), max_iter=100, clip_norm=1.0)
