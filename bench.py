@@ -249,7 +249,7 @@ def main():
                              dedup_sim=2.0, suppress_siou=2.0, suppress_ctt=2.0)
     run(inf_crowd)  # warm-up (thresholds are static args -> fresh compile)
     crates = []
-    for _ in range(2):
+    for _ in range(4):
         t0 = time.perf_counter()
         out = run(inf_crowd)
         crates.append(n_clips / (time.perf_counter() - t0))
