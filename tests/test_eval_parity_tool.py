@@ -1,0 +1,73 @@
+"""eval_parity diff mode: per-video track matching, score/IoU deltas, and the
+structural-parity exit code (tools/eval_parity.py)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _preds(tmp_path, name, entries):
+    p = tmp_path / name
+    p.write_text(json.dumps(entries))
+    return str(p)
+
+
+def _rle(mask):
+    sys.path.insert(0, ROOT)
+    from mdqe_cvpr2023_tpu.data import rle
+    return rle.encode(mask)
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "eval_parity.py"), "diff",
+         *args], capture_output=True, text=True)
+
+
+def test_diff_identical_results_parity(tmp_path):
+    m = np.zeros((10, 12), bool)
+    m[2:7, 3:9] = True
+    preds = [{"video_id": 1, "category_id": 2, "score": 0.9,
+              "segmentations": [_rle(m)] * 2}]
+    a = _preds(tmp_path, "a.json", preds)
+    r = _run([a, a])
+    assert r.returncode == 0, r.stdout + r.stderr
+    rep = json.loads(r.stdout)
+    assert rep["matched_tracks"] == 1
+    assert rep["mean_matched_iou"] == 1.0
+    assert rep["max_abs_score_delta"] == 0.0
+
+
+def test_diff_unmatched_track_fails(tmp_path):
+    m1 = np.zeros((10, 12), bool)
+    m1[2:7, 3:9] = True
+    m2 = np.zeros((10, 12), bool)
+    m2[0:2, 0:2] = True  # disjoint -> cannot match at IoU 0.5
+    a = _preds(tmp_path, "a.json", [{"video_id": 1, "category_id": 2,
+                                     "score": 0.9,
+                                     "segmentations": [_rle(m1)]}])
+    b = _preds(tmp_path, "b.json", [{"video_id": 1, "category_id": 2,
+                                     "score": 0.9,
+                                     "segmentations": [_rle(m2)]}])
+    r = _run([a, b])
+    assert r.returncode == 1, r.stdout + r.stderr
+    rep = json.loads(r.stdout)
+    assert rep["only_in_a"] == 1 and rep["only_in_b"] == 1
+
+
+def test_diff_category_mismatch_fails(tmp_path):
+    m = np.zeros((10, 12), bool)
+    m[2:7, 3:9] = True
+    a = _preds(tmp_path, "a.json", [{"video_id": 1, "category_id": 2,
+                                     "score": 0.9,
+                                     "segmentations": [_rle(m)]}])
+    b = _preds(tmp_path, "b.json", [{"video_id": 1, "category_id": 3,
+                                     "score": 0.9,
+                                     "segmentations": [_rle(m)]}])
+    r = _run([a, b])
+    assert r.returncode == 1
+    assert json.loads(r.stdout)["category_mismatches"] == 1
