@@ -106,3 +106,38 @@ def test_train_step_amp_decreases_loss():
     leaves = jax.tree_util.tree_leaves(params)
     assert all(l.dtype != jnp.bfloat16 for l in leaves)
     assert losses[-1] < losses[0]
+
+
+def test_amp_forward_close_to_f32():
+    """The bf16 model forward under AMP must track the f32 forward closely
+    (same weights/inputs; fp32 islands keep boxes exactly comparable). Guards
+    the dtype plumbing: a silent promotion back to f32 would pass, but a
+    missing fp32 island (box path, softmax, norms) or a bf16 leak into the
+    criterion's accumulations would drift far beyond these tolerances."""
+    import jax
+    import jax.numpy as jnp
+    from mdqe_cvpr2023_tpu.models.detr import detr_apply_backbone
+
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    T = TINY.n_frames
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((T, 64, 64, 3)), jnp.float32)
+    sizes = jnp.asarray([[64, 64]] * T, jnp.int32)
+
+    outs = {}
+    for amp in (False, True):
+        outs[amp] = detr_apply_backbone(params, TINY, images, sizes,
+                                        n_frames=T, training=True, amp=amp)
+    assert outs[True]["boxes"].dtype == jnp.float32  # fp32 box island
+    # Discrete decisions (grid-guided per-cell argmax, inter-frame argmax
+    # association) can legitimately flip under bf16 rounding, replacing a few
+    # queries wholesale — so assert that the OVERWHELMING majority of entries
+    # track the f32 path closely rather than all of them. A missing fp32
+    # island corrupts every entry and fails these fractions immediately.
+    db = np.abs(np.asarray(outs[True]["boxes"], np.float32)
+                - np.asarray(outs[False]["boxes"], np.float32))
+    assert (db < 0.05).mean() > 0.85, f"box agreement {(db < 0.05).mean():.3f}"
+    dc = np.abs(np.asarray(outs[True]["cls"], np.float32)
+                - np.asarray(outs[False]["cls"], np.float32))
+    assert (dc < 0.35).mean() > 0.85, f"cls agreement {(dc < 0.35).mean():.3f}"
+    assert np.median(dc) < 0.05
