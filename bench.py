@@ -19,6 +19,22 @@ import time
 
 import numpy as np
 
+# bf16 peak TFLOP/s by TPU generation for the %-of-peak estimate; unknown
+# device kinds fall back to v5e and the assumed value is recorded on the JSON
+# line so a wrong guess is visible in the artifact rather than silent
+_BF16_PEAK_TFLOPS = {"v5e": 197.0, "v5litepod": 197.0, "v4": 275.0,
+                     "v5p": 459.0, "v6e": 918.0}
+_DEFAULT_PEAK = 197.0
+
+
+def _bf16_peak(jax):
+    kind = getattr(jax.devices()[0], "device_kind", "") or ""
+    k = kind.lower().replace("tpu", "").strip(" -_")
+    for name, peak in _BF16_PEAK_TFLOPS.items():
+        if name in k:
+            return peak, kind
+    return _DEFAULT_PEAK, kind or "unknown"
+
 
 def _load_or_init_params(jax, cfg, detr_init):
     """Init as ONE jitted program on the host CPU backend: eager init on the TPU
@@ -86,7 +102,8 @@ def _mfu_estimate(jax, params, cfg, inf, Hp, Wp, video_seconds, timers):
     total = (enc_fl * timers.get("encode_dispatch_n", 0)
              + dec_fl * timers.get("decode_dispatch_n", 0))
     tfs = total / video_seconds / 1e12
-    return round(tfs, 2), round(tfs / 197.0, 4), round(total / 1e12, 2)
+    peak, _ = _bf16_peak(jax)
+    return round(tfs, 2), round(tfs / peak, 4), round(total / 1e12, 2)
 
 
 # headline geometries beyond the driver metric (regression-tracked every round;

@@ -202,14 +202,22 @@ def detr_apply_backbone(params, cfg: MDQEModelCfg, images, image_sizes,
     drop_rate/rng enable the reference's 0.1 transformer dropout during training.
 
     amp=True runs backbone + input projections + encoder AND the decoder in
-    bf16 — the TPU analog of the reference's SOLVER.AMP autocast training —
-    with the reference's fp32 islands kept: deform-attn sampling/weight math
-    (ms_deform_attn.py:118,175), the box-refinement path (inverse_sigmoid +
-    reference points), softmaxes, and norm statistics. Loss-facing outputs
-    (cls logits, mask coeff, proto) come back bf16; the criterion casts or
-    accumulates in fp32 (the reid loss is fully fp32, criterion.py:540).
-    Params stay fp32 masters; the cast is differentiable so grads accumulate
-    in fp32."""
+    bf16 — the TPU analog of the reference's SOLVER.AMP autocast training.
+    DELIBERATE TPU-SPECIFIC DEVIATION from the reference's autocast scope:
+    under CUDA autocast the reference forces the WHOLE deform-attn forward
+    (@autocast(enabled=False) on ms_deform_attn.py:118 spatial_forward and
+    :175 temporal_clip_forward), the whole decoder (transformer_dec.py:446),
+    the matcher (matcher.py:196) and the losses' .float() casts to fp32. On
+    this TPU, f32-input matmuls already execute as bf16 MXU passes, so
+    keeping those modules f32 buys no accuracy at real bandwidth cost;
+    instead we run their matmuls in bf16 and keep NARROW fp32 islands where
+    low precision actually changes results: the box-refinement path
+    (inverse_sigmoid + reference points), sampling-location/attention-weight
+    construction, softmaxes, norm statistics, matcher assignment costs and
+    the reid loss (criterion.py:540). bf16-vs-f32 forward closeness is
+    gated by tests/test_model_forward.py::test_amp_forward_close_to_f32;
+    the deviation is also recorded in README.md and PARITY.md. Params stay
+    fp32 masters; the cast is differentiable so grads accumulate in fp32."""
     enc_rng = jax.random.fold_in(rng, 1) if rng is not None else None
     dec_rng = jax.random.fold_in(rng, 2) if rng is not None else None
     p = params

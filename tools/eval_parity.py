@@ -38,8 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _video_iou(segs_a, segs_b, rle):
     """Video soft IoU: per-frame RLE area(intersect)/area(union), summed over
-    frames then divided (None segmentations count as empty)."""
+    frames then divided (None segmentations count as empty). Tracks with
+    differing frame counts (one side wrote fewer frames) treat the missing
+    frames as empty on the shorter side — a silent zip truncation here would
+    inflate IoU and mask a structural mismatch in a tool whose exit code
+    gates parity."""
     inter = union = 0.0
+    n = max(len(segs_a), len(segs_b))
+    segs_a = list(segs_a) + [None] * (n - len(segs_a))
+    segs_b = list(segs_b) + [None] * (n - len(segs_b))
     for sa, sb in zip(segs_a, segs_b):
         if sa is None and sb is None:
             continue
