@@ -82,6 +82,7 @@ def build_train_cfg(cfg: CfgNode) -> TrainCfg:
         warmup_iters=int(s.WARMUP_ITERS),
         warmup_factor=float(s.WARMUP_FACTOR),
         amp=bool(s.AMP.ENABLED),
+        freeze_at=int(cfg.MODEL.BACKBONE.FREEZE_AT),
     )
 
 

@@ -67,7 +67,7 @@ def get_default_config() -> CfgNode:
             "PIXEL_MEAN": [123.675, 116.280, 103.530],
             "PIXEL_STD": [58.395, 57.120, 57.375],
             "MASK_ON": True,
-            "BACKBONE": {"NAME": "build_resnet_backbone", "FREEZE_AT": 0},
+            "BACKBONE": {"NAME": "build_resnet_backbone", "FREEZE_AT": 2},
             "RESNETS": {"DEPTH": 50, "STRIDE_IN_1X1": False,
                         "OUT_FEATURES": ["res3", "res4", "res5"]},
             "SWIN": {"TYPE": "large", "PRETRAIN_IMG_SIZE": 384, "PATCH_SIZE": 4,

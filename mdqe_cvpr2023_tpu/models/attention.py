@@ -97,7 +97,12 @@ def _sampling_locations(p, cfg: MSDeformAttnCfg, query, reference_points):
         off = fnn.linear(p["sampling_offsets"], query).astype(jnp.float32)
         off = off.reshape(B, Q, cfg.n_heads, cfg.lvl, cfg.n_points, 2)
     else:
-        off = p["sampling_offsets"].astype(jnp.float32) * 0.5 * ref[..., 2:]
+        # the fixed rotational grid is a BUFFER in the reference (registered via
+        # register_buffer, ms_deform_attn.py:95-96): autograd never flows into
+        # it and the optimizer never updates/decays it — stop_gradient here
+        # plus the optimizer's frozen-leaf mask (parallel/train.py) mirror that
+        grid = jax.lax.stop_gradient(p["sampling_offsets"].astype(jnp.float32))
+        off = grid * 0.5 * ref[..., 2:]
         corr = fnn.linear(p["sampling_grid_offsets"], query).astype(jnp.float32)
         corr = corr.reshape(B, Q, cfg.n_heads, cfg.lvl, cfg.n_points, 2)
         lim = ref[..., 2:] * SCALE

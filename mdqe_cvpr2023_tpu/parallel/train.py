@@ -40,6 +40,11 @@ class TrainCfg:
     warmup_iters: int = 10
     warmup_factor: float = 1.0
     gamma: float = 0.1
+    # D2 MODEL.BACKBONE.FREEZE_AT (default 2, inherited by the reference's
+    # configs): 1 freezes the ResNet stem, 2 stem+res2 — those parameters have
+    # requires_grad=False in the reference and never reach the optimizer OR
+    # the full-model grad-norm clip
+    freeze_at: int = 2
     # bf16 backbone+encoder+decoder and bf16-matmul criterion with fp32
     # islands/accumulation (reference SOLVER.AMP.ENABLED)
     amp: bool = False
@@ -48,6 +53,47 @@ class TrainCfg:
 def make_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), ("data",))
+
+
+def frozen_leaf_mask(params, freeze_at: int = 0):
+    """Bool pytree marking leaves the reference NEVER optimizes — torch buffers
+    and requires_grad=False parameters (train_net.py:123-124 iterates
+    named_parameters and skips non-grad ones):
+
+      - FrozenBN stats (weight/bias/running_mean/running_var are all buffers
+        in D2's FrozenBatchNorm2d)
+      - the decoder deform-attn's fixed rotational sampling grid
+        (register_buffer, ms_deform_attn.py:95-96) and lvl_spatial_scales
+      - with freeze_at>0, the D2-frozen ResNet stages (1: stem, 2: stem+res2)
+
+    Used both to zero these leaves' grads BEFORE the full-model clip (so the
+    global norm matches the reference, where frozen params contribute no
+    grads at all) and to route them to a no-op optimizer transform (so AdamW
+    weight decay never shrinks a buffer)."""
+    frozen_stages = ("stem", "res2")[:max(min(int(freeze_at), 2), 0)]
+
+    def all_true(t):
+        return jax.tree.map(lambda _: True, t)
+
+    def walk(node, in_backbone):
+        if isinstance(node, dict):
+            if "running_mean" in node:  # a FrozenBN stats dict
+                return all_true(node)
+            out = {}
+            for k, v in node.items():
+                if k == "lvl_spatial_scales" or (
+                        k == "sampling_offsets" and not isinstance(v, dict)):
+                    out[k] = all_true(v)
+                elif in_backbone and k in frozen_stages:
+                    out[k] = all_true(v)
+                else:
+                    out[k] = walk(v, in_backbone or k == "backbone")
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, in_backbone) for v in node)
+        return False
+
+    return walk(params, False)
 
 
 def make_optimizer(tc: TrainCfg) -> optax.GradientTransformation:
@@ -61,19 +107,32 @@ def make_optimizer(tc: TrainCfg) -> optax.GradientTransformation:
             decay = decay * jnp.where(step >= s, tc.gamma, 1.0)
         return lr * warm * decay
 
-    def backbone_mask(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "backbone" if (path and getattr(path[0], "key", None)
-                                           == "backbone") else "rest",
+    def group_labels(params):
+        frozen = frozen_leaf_mask(params, tc.freeze_at)
+        is_backbone = jax.tree_util.tree_map_with_path(
+            lambda path, _: bool(path and getattr(path[0], "key", None)
+                                 == "backbone"),
             params)
+        return jax.tree.map(
+            lambda f, b: "frozen" if f else ("backbone" if b else "rest"),
+            frozen, is_backbone)
 
     tx = optax.multi_transform(
         {"backbone": optax.adamw(lambda s: tc.backbone_multiplier * lr_schedule(s),
                                  weight_decay=tc.weight_decay),
-         "rest": optax.adamw(lr_schedule, weight_decay=tc.weight_decay)},
-        backbone_mask)
-    # full-model grad clip happens before the per-group transforms
-    return optax.chain(optax.clip_by_global_norm(tc.clip_norm), tx)
+         "rest": optax.adamw(lr_schedule, weight_decay=tc.weight_decay),
+         # buffers / frozen stages: no update, no weight decay (reference
+         # excludes them from the optimizer entirely)
+         "frozen": optax.set_to_zero()},
+        group_labels)
+    # zero frozen-leaf grads FIRST so the full-model global-norm clip sees the
+    # same norm the reference computes (frozen params contribute no grads
+    # there), then clip, then the per-group transforms
+    chain = [optax.masked(optax.set_to_zero(),
+                          lambda p: frozen_leaf_mask(p, tc.freeze_at))]
+    if tc.clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(tc.clip_norm))
+    return optax.chain(*chain, tx)
 
 
 def prepare_targets_device(masks_full, padded_hw, match_stride: int):

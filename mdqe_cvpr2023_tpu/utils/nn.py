@@ -138,9 +138,15 @@ def layer_norm(p, x, eps=1e-5):
 
 
 def frozen_batch_norm(p, x, eps=1e-5):
-    """FrozenBN folded at apply time: y = (x - mean) / sqrt(var+eps) * w + b on NHWC."""
-    scale = (p["weight"] * jax.lax.rsqrt(p["running_var"] + eps))
-    bias = (p["bias"] - p["running_mean"] * scale)
+    """FrozenBN folded at apply time: y = (x - mean) / sqrt(var+eps) * w + b on NHWC.
+
+    All four stats are BUFFERS in the reference (D2 FrozenBatchNorm2d registers
+    weight/bias/running_mean/running_var as buffers): autograd never reaches
+    them and the optimizer never updates or weight-decays them. stop_gradient
+    makes our grads match (zero) and the optimizer's frozen-leaf mask
+    (parallel/train.py) keeps AdamW off them."""
+    scale = jax.lax.stop_gradient(p["weight"] * jax.lax.rsqrt(p["running_var"] + eps))
+    bias = jax.lax.stop_gradient(p["bias"] - p["running_mean"] * scale)
     return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 

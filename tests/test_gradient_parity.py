@@ -151,13 +151,16 @@ def _randomize_offset_weights(module):
 
 
 def _torch_param_grads(module, prefix):
+    # remove_duplicate=False: shared submodules (Transformer_Dec holds
+    # bbox_embed both directly and inside DecoderDefAttn) must appear under
+    # every state_dict alias so the converted tree is leaf-aligned with params
     sd = {}
-    for name, p in module.named_parameters():
+    for name, p in module.named_parameters(remove_duplicate=False):
         g = p.grad
         sd[prefix + name] = (np.zeros(p.shape, np.float32) if g is None
                              else g.detach().numpy())
     # converter also expects buffers (sampling_offsets grids etc.) — zeros
-    for name, b in module.named_buffers():
+    for name, b in module.named_buffers(remove_duplicate=False):
         key = prefix + name
         if key not in sd:
             sd[key] = np.zeros(b.shape, np.float32)
@@ -239,6 +242,100 @@ def test_encoder_gradient_parity():
 
     g = jax.grad(scalar, allow_int=True)(params)
     _compare_grad_trees(g, ref_gtree, "enc.")
+
+
+def test_decoder_gradient_parity():
+    """d(sum over ALL intermediate layers of out*R)/d(params) through
+    decoder_loop vs torch autograd through the reference DecoderDefAttn in
+    TRAINING mode (module.train(), drop=0 so it stays deterministic).
+
+    This specifically pins the detach semantics of iterative box refinement —
+    the reference detaches reference points between refinement layers
+    (/root/reference/mdqe/models/transformer_dec.py:468,494) while the
+    positional projection flows gradient through the UNdetached boxes
+    (:469,495), and clip reference boxes are built from the detached frame
+    boxes (:497-503). A missing/extra stop_gradient in decoder_loop passes
+    every activation test and only shows up as degraded trained AP."""
+    from mdqe_cvpr2023_tpu.models.decoder import DecoderCfg, decoder_loop
+
+    ref = load_reference_models()
+    torch.manual_seed(5)
+    # dim must be ≥256-ish: MaskHead's num_gen_params = dim//8 feeds a
+    # GroupNorm(32-or-24) inside DepthwiseSeparableConv2d (segmentation.py:103)
+    dim, heads, T, Q, L = 256, 8, 2, 9, 2
+    dec = ref.Transformer_Dec(num_classes=7, dim=dim, n_heads=heads,
+                              n_feature_levels=4, n_frames=T, n_dec_points=2,
+                              n_dec_layers=L, mlp_ratio=4, n_query=Q,
+                              fpn_dims=[dim, dim], dec_temporal=True,
+                              clip_peak_matcher=None, window_inter_frame_asso=3,
+                              query_embed_dim=8, is_coco=False, mask_on=True)
+    dec.train()  # DecoderDefAttn reads self.training for the B/T split
+    # the fixed-grid scheme's correction linear (sampling_grid_offsets) is
+    # zero-initialized; randomize it so its weight grads are exercised and the
+    # clamp path (ms_deform_attn.py:149-153) is off its boundary knots
+    with torch.no_grad():
+        for name, p in dec.named_parameters():
+            if "sampling_grid_offsets" in name and name.endswith("weight"):
+                p.normal_(0.0, 0.02)
+
+    B = 2
+    BT = B * T
+    rng = np.random.default_rng(5)
+    query = rng.standard_normal((BT, Q, dim)).astype(np.float32)
+    ref_pts = rng.uniform(0.2, 0.8, (BT, Q, 2)).astype(np.float32)
+    encoded = rng.standard_normal((BT, N_TOK, dim)).astype(np.float32)
+    masks = np.zeros((BT, N_TOK), bool)
+    R_x = rng.standard_normal((L + 1, BT, Q, dim)).astype(np.float32)
+    R_inst = rng.standard_normal((L + 1, B, Q, dim)).astype(np.float32)
+    R_box = rng.standard_normal((L + 1, BT, Q, 4)).astype(np.float32)
+    ss = torch.as_tensor(SHAPES, dtype=torch.long)
+
+    inter, inter_inst, inter_boxes = dec.decoder(
+        torch.from_numpy(query), torch.from_numpy(ref_pts),
+        torch.from_numpy(encoded), ss, torch.from_numpy(masks))
+    loss_t = ((inter * torch.from_numpy(R_x)).sum()
+              + (inter_inst * torch.from_numpy(R_inst)).sum()
+              + (inter_boxes * torch.from_numpy(R_box)).sum())
+    loss_t.backward()
+    gsd = _torch_param_grads(dec, "detr.transformer_dec.")
+    ref_gtree = convert_torch_state_dict(gsd)["transformer_dec"]
+
+    sd = {"detr.transformer_dec." + k: v.detach().numpy()
+          for k, v in dec.state_dict().items()}
+    params = convert_torch_state_dict(sd)["transformer_dec"]
+    cfg = DecoderCfg(num_classes=7, dim=dim, n_heads=heads, n_levels=4,
+                     n_frames=T, n_points=2, n_layers=L, n_query=Q,
+                     query_embed_dim=8, window_inter_frame_asso=3,
+                     use_tca=True, mask_on=True)
+
+    # sanity: values must already agree, or the grad comparison is meaningless
+    vx, vi, vb = decoder_loop(params, cfg, jnp.asarray(query),
+                              jnp.asarray(ref_pts), jnp.asarray(encoded),
+                              SHAPES, jnp.asarray(masks), T)
+    np.testing.assert_allclose(np.asarray(vx), inter.detach().numpy(),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vb), inter_boxes.detach().numpy(),
+                               atol=1e-4, rtol=1e-4)
+
+    def scalar(p):
+        ix, ii, ib = decoder_loop(p, cfg, jnp.asarray(query),
+                                  jnp.asarray(ref_pts), jnp.asarray(encoded),
+                                  SHAPES, jnp.asarray(masks), T)
+        return ((ix * jnp.asarray(R_x)).sum()
+                + (ii * jnp.asarray(R_inst)).sum()
+                + (ib * jnp.asarray(R_box)).sum())
+
+    g = jax.grad(scalar, allow_int=True)(params)
+    # bbox_embed / decoder_norm / point2pos_proj are SHARED torch modules:
+    # the state dict (hence our converted tree) aliases them under both the
+    # top level and decoder.*, but torch autograd accumulates one total grad
+    # reported under every alias. Our decoder_loop reads only the top-level
+    # copy, so fold its grad into the (zero) alias before comparing.
+    for ours, alias in (("bbox_embed", "bbox_embed"), ("decoder_norm", "norm"),
+                        ("point2pos_proj", "point2pos_proj")):
+        g["decoder"][alias] = jax.tree.map(
+            lambda a, b: a + b, g["decoder"][alias], g[ours])
+    _compare_grad_trees(g, ref_gtree, "dec.", tol=5e-4)
 
 
 def test_mask_head_gradient_parity():

@@ -43,9 +43,44 @@ def make_batch(B, T, Hp=64, Wp=64, N=3, seed=0):
     }
 
 
+def test_frozen_leaf_mask_structure():
+    """The mask must cover exactly what the reference never optimizes: FrozenBN
+    stats dicts, the decoder's fixed sampling grid buffer, lvl_spatial_scales,
+    and (freeze_at=2) the stem+res2 stages — while the encoder's LEARNED
+    sampling_offsets linear stays trainable."""
+    from mdqe_cvpr2023_tpu.parallel.train import frozen_leaf_mask
+    params = detr_init(jax.random.PRNGKey(0), TINY)
+    mask = frozen_leaf_mask(params, freeze_at=2)
+    bb = mask["backbone"]
+    # whole frozen stages
+    assert all(jax.tree_util.tree_leaves(bb["stem"]))
+    assert all(jax.tree_util.tree_leaves(bb["res2"]))
+    # unfrozen stage: only its FrozenBN stats dicts are marked
+    res3 = mask["backbone"]["res3"]
+    flat = jax.tree_util.tree_flatten_with_path(res3)[0]
+    for kp, v in flat:
+        keys = [getattr(k, "key", None) for k in kp]
+        assert v == ("norm" in keys), jax.tree_util.keystr(kp)
+    # decoder fixed grid buffer + lvl scales frozen; learned offsets trainable
+    layer0 = mask["transformer_dec"]["decoder"]["layers"][0]
+    assert layer0["cross_attn"]["sampling_offsets"] is True
+    assert layer0["cross_attn"]["lvl_spatial_scales"] is True
+    enc_attn = mask["transformer_enc"]["encoder"]["layers"][0]["self_attn"]
+    assert enc_attn["sampling_offsets"]["weight"] is False
+    assert enc_attn["lvl_spatial_scales"] is True
+
+    # freeze_at=0 keeps the stages trainable but still freezes BN stats
+    mask0 = frozen_leaf_mask(params, freeze_at=0)
+    assert not all(jax.tree_util.tree_leaves(mask0["backbone"]["res2"]))
+    assert all(jax.tree_util.tree_leaves(
+        mask0["backbone"]["stem"]["conv1"]["norm"]))
+
+
 @pytest.mark.slow
 def test_train_step_runs_and_decreases_loss():
+    from mdqe_cvpr2023_tpu.parallel.train import frozen_leaf_mask
     params = detr_init(jax.random.PRNGKey(0), TINY)
+    params0 = jax.tree.map(np.asarray, params)
     tc = TrainCfg(base_lr=1e-3, steps=(1000,), max_iter=100, clip_norm=1.0)
     tx = make_optimizer(tc)
     opt_state = tx.init(params)
@@ -62,6 +97,22 @@ def test_train_step_runs_and_decreases_loss():
     for k, v in jax.tree.map(float, ldict).items():
         assert np.isfinite(v), k
     assert losses[-1] < losses[0]  # overfitting a fixed batch reduces loss
+
+    # frozen leaves (buffers, freeze_at stages) must be bit-identical after 3
+    # optimizer steps — the reference never updates or weight-decays them
+    mask = frozen_leaf_mask(params, tc.freeze_at)
+    n_frozen = n_trained = 0
+    for (kp, new), old, fz in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_leaves(params0),
+            jax.tree_util.tree_leaves(mask)):
+        if fz:
+            assert np.array_equal(np.asarray(new), old), \
+                f"frozen leaf changed: {jax.tree_util.keystr(kp)}"
+            n_frozen += 1
+        elif not np.array_equal(np.asarray(new), old):
+            n_trained += 1
+    assert n_frozen > 10 and n_trained > 10
 
 
 @pytest.mark.slow
