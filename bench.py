@@ -68,6 +68,70 @@ def _load_or_init_params(jax, cfg, detr_init):
     return params
 
 
+def _snapshot_timers(TIMERS):
+    """Compact copy of the meta.TIMERS stage accumulators for one run: seconds
+    per stage (host-blocking part of each dispatch/sync) + call counts; the
+    per-clip wall series is summarized, not dumped."""
+    out = {}
+    for k, v in TIMERS.items():
+        if k == "clip_ms_series":
+            arr = np.asarray(v, np.float64)
+            if arr.size:
+                out["clip_ms_p50"] = round(float(np.median(arr)), 1)
+                out["clip_ms_max"] = round(float(arr.max()), 1)
+        elif k.endswith("_n"):
+            out[k] = int(v)
+        else:
+            out[k] = round(float(v), 4)
+    return out
+
+
+def _device_busy(jax, run_fn):
+    """Noise-immune companion metric: jax.profiler trace of ONE video; device
+    busy = union of event intervals on the busiest TPU-plane line (XLA module
+    executions don't overlap on a single core). Returns (wall_s, busy_s,
+    plane_name) — busy_s None if the trace exposes no device plane (e.g. a
+    remote-tunnel backend that only records host activity)."""
+    import glob
+    import shutil
+    import tempfile
+    td = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        t0 = time.perf_counter()
+        with jax.profiler.trace(td):
+            run_fn()
+        wall = time.perf_counter() - t0
+        paths = glob.glob(os.path.join(td, "**", "*.xplane.pb"), recursive=True)
+        if not paths:
+            return wall, None, "no-xplane"
+        from jax.profiler import ProfileData
+        pd = ProfileData.from_file(paths[0])
+        best, best_name = 0.0, None
+        for plane in pd.planes:
+            if "TPU" not in plane.name:
+                continue
+            for line in plane.lines:
+                ivs = sorted((e.start_ns, e.end_ns) for e in line.events)
+                busy = 0.0
+                cur_s = cur_e = None
+                for s, e in ivs:
+                    if cur_e is None or s > cur_e:
+                        if cur_e is not None:
+                            busy += cur_e - cur_s
+                        cur_s, cur_e = s, e
+                    else:
+                        cur_e = max(cur_e, e)
+                if cur_e is not None:
+                    busy += cur_e - cur_s
+                if busy > best:
+                    best, best_name = busy, f"{plane.name}/{line.name}"
+        return wall, (best / 1e9 if best_name else None), best_name
+    except Exception as e:
+        return None, None, f"error: {str(e)[:120]}"
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+
+
 def _mfu_estimate(jax, params, cfg, inf, Hp, Wp, video_seconds, timers):
     """TFLOP/s + %-of-peak for one benchmarked video: XLA cost analysis of the
     two heavy jits (window-encode chunk, batched clip decode) x their counted
@@ -218,41 +282,6 @@ def main():
         return inference_vis(params, cfg, inf_cfg, frames, image_size=(H, W),
                              ori_size=(H, W))
 
-    run(inf)  # warm-up + compile
-    # clips processed per video: starts 0..len-T stepping stride (loop breaks at
-    # the first clip reaching the video end)
-    n_clips = (n_frames - inf.n_frames_test) // inf.clip_stride + 1
-    # the tunnel to the chip has high variance; the driver metric is the max of
-    # several runs, with the median printed alongside as the honest estimator
-    # 6 runs: the tunnel's slow windows last several runs; max-of-6 hedges the
-    # driver metric against sampling an entirely-slow window (r4 observed
-    # whole-run medians from 8.7 to 17+ at identical code)
-    rates, times = [], []
-    for _ in range(6):
-        TIMERS.clear()
-        t0 = time.perf_counter()
-        run(inf)
-        times.append(time.perf_counter() - t0)
-        rates.append(n_clips / times[-1])
-    timers = dict(TIMERS)
-    line = {
-        "metric": "clips_per_sec_per_chip_r50_f4_360p",
-        "value": round(max(rates), 3),
-        "unit": "clips/s",
-        "vs_baseline": round(max(rates) / 10.0, 3),
-        "median": round(float(np.median(rates)), 3),
-        "runs": [round(r, 3) for r in rates],
-    }
-    try:
-        Hp, Wp = frames.shape[1:3]
-        tfs, mfu, tfl = _mfu_estimate(jax, params, cfg, inf, Hp, Wp,
-                                      min(times), timers)
-        line.update({"achieved_tflops_per_s": tfs, "mfu_vs_v5e_bf16_peak": mfu,
-                     "tflops_per_video": tfl})
-    except Exception as e:
-        line["mfu_error"] = str(e)[:120]
-    print(json.dumps(line), flush=True)
-
     # crowded-tracker variant: threshold 0 keeps every top-k candidate valid AND
     # the dedup/suppression gates are disabled (random-weight detections are
     # near-identical, so with the real gates the tracker correctly collapses
@@ -264,20 +293,74 @@ def main():
                              apply_cls_thres=0.0, detections_per_image=15,
                              clip_topk=150, encode_chunk=10, num_classes=25,
                              dedup_sim=2.0, suppress_siou=2.0, suppress_ctt=2.0)
+    run(inf)        # warm-up + compile
     run(inf_crowd)  # warm-up (thresholds are static args -> fresh compile)
+    # clips processed per video: starts 0..len-T stepping stride (loop breaks at
+    # the first clip reaching the video end)
+    n_clips = (n_frames - inf.n_frames_test) // inf.clip_stride + 1
+    # the tunnel to the chip has high variance (r4 observed whole-run medians
+    # 8.7-17+ at identical code); the driver metric stays max-of-6 to hedge
+    # against an entirely-slow window, with the median as the honest estimator.
+    # Empty and crowded runs are INTERLEAVED e-c-e-c... so each pair shares a
+    # tunnel window: the per-pair crowded/empty ratio is tunnel-invariant and is
+    # the number the crowded-tracker claim rests on.
+    rates, times, stage_snaps = [], [], []
     crates = []
-    for _ in range(4):
+    out_crowd = None
+    for _ in range(6):
+        TIMERS.clear()
         t0 = time.perf_counter()
-        out = run(inf_crowd)
+        run(inf)
+        times.append(time.perf_counter() - t0)
+        rates.append(n_clips / times[-1])
+        stage_snaps.append(_snapshot_timers(TIMERS))
+        t0 = time.perf_counter()
+        out_crowd = run(inf_crowd)
         crates.append(n_clips / (time.perf_counter() - t0))
+    timers = dict(TIMERS)
+    best = int(np.argmax(rates))
+    # noise-immune companion: device-busy fraction from a profiler trace of one
+    # more (empty-tracker) video
+    wall_tr, busy_s, plane = _device_busy(jax, lambda: run(inf))
+    line = {
+        "metric": "clips_per_sec_per_chip_r50_f4_360p",
+        "value": round(max(rates), 3),
+        "unit": "clips/s",
+        "vs_baseline": round(max(rates) / 10.0, 3),
+        "median": round(float(np.median(rates)), 3),
+        "runs": [round(r, 3) for r in rates],
+        "wall_seconds_best": round(times[best], 3),
+        "stage_seconds_best": stage_snaps[best],
+    }
+    if busy_s is not None and wall_tr:
+        line.update({"device_busy_seconds": round(busy_s, 3),
+                     "device_busy_fraction": round(busy_s / wall_tr, 3),
+                     "device_busy_wall_seconds": round(wall_tr, 3)})
+    else:
+        line["device_busy_note"] = str(plane)
+    try:
+        Hp, Wp = frames.shape[1:3]
+        tfs, mfu, tfl = _mfu_estimate(jax, params, cfg, inf, Hp, Wp,
+                                      min(times), timers)
+        line.update({"achieved_tflops_per_s": tfs, "mfu_vs_v5e_bf16_peak": mfu,
+                     "tflops_per_video": tfl})
+    except Exception as e:
+        line["mfu_error"] = str(e)[:120]
+    print(json.dumps(line), flush=True)
+
+    ratios = [c / e for c, e in zip(crates, rates)]
     print(json.dumps({
         "metric": "clips_per_sec_crowded_tracker_r50_f4_360p",
         "value": round(max(crates), 3),
         "unit": "clips/s",
         "vs_baseline": round(max(crates) / 10.0, 3),
         "median": round(float(np.median(crates)), 3),
-        "tracker_occupancy": out.get("num_tracks", -1),
-        "tracks_emitted": len(out["pred_scores"]),
+        "runs": [round(r, 3) for r in crates],
+        # tunnel-invariant: each ratio compares runs from the same window
+        "paired_crowded_over_empty": [round(r, 3) for r in ratios],
+        "paired_ratio_median": round(float(np.median(ratios)), 3),
+        "tracker_occupancy": out_crowd.get("num_tracks", -1),
+        "tracks_emitted": len(out_crowd["pred_scores"]),
     }), flush=True)
 
     # remaining headline geometries (Swin-L 480p, R50 640p) — regression-
