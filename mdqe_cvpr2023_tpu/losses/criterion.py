@@ -330,11 +330,19 @@ def _reid_loss_video(cfg: CriterionCfg, embeds, q_ids, gt_ids, gt_valid,
         ctt = jnp.log1p(jnp.clip(expsum, None, 1e3))
         ctt = (ctt * pos_sel).sum() / jnp.clip(pos_sel.sum(), 1.0, None)
 
-        # aux cosine regression over selected pos+neg
-        tn = target_e / jnp.clip(jnp.linalg.norm(target_e), 1e-12, None)
+        # aux cosine regression over selected pos+neg. Normalize via
+        # rsqrt(max(|x|^2, eps^2)): identical values to x/clip(norm, eps) but
+        # with a ZERO (not NaN) vjp at x=0 — jnp.linalg.norm's backward is
+        # x/|x| and the post-hoc clip can't repair it; torch's F.normalize
+        # zero-grads this case, so a zero embedding row (maskable under the
+        # top-k selection) must not poison the whole batch gradient.
+        def _nrm(x):
+            return x * jax.lax.rsqrt(
+                jnp.maximum((x * x).sum(-1, keepdims=True), 1e-24))
+
+        tn = _nrm(target_e)
         cand = jnp.concatenate([flat_emb[pos_idx], flat_emb[neg_idx]])
-        cand_n = cand / jnp.clip(jnp.linalg.norm(cand, axis=-1, keepdims=True),
-                                 1e-12, None)
+        cand_n = _nrm(cand)
         cos = cand_n @ tn
         lbl = jnp.concatenate([jnp.ones(K_pos), jnp.zeros(K_neg)])
         sel = jnp.concatenate([pos_sel, neg_sel])

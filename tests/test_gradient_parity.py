@@ -338,6 +338,109 @@ def test_decoder_gradient_parity():
     _compare_grad_trees(g, ref_gtree, "dec.", tol=5e-4)
 
 
+def test_reid_loss_gradient_parity_exhaustive_regime():
+    """d(ctt)/d(embeds) and d(aux)/d(embeds) through `_reid_loss_video` vs
+    torch autograd through the reference `loss_reid_query_init`
+    (/root/reference/mdqe/models/criterion.py:540-602), on the exhaustive-
+    sampling-regime inputs of test_criterion_parity.py::
+    test_reid_loss_parity_exhaustive_regime — per instance the candidate pool
+    is smaller than both dynamic-k caps, so the reference's randperm and our
+    masked-top-k select the SAME sets and gradients are comparable. The
+    masked-top-k + jnp.where selection chain is a classic silent-NaN /
+    wrong-adjoint site that value parity cannot see."""
+    from mdqe_cvpr2023_tpu.losses import CriterionCfg
+    from mdqe_cvpr2023_tpu.losses.criterion import _reid_loss_video
+    from mdqe_cvpr2023_tpu.models.decoder import query_relpos_grid
+
+    nb, T, E, window = 4, 2, 8, 2
+    Qn = nb * nb
+    rng = np.random.default_rng(0)
+    q_ids = np.full((T, Qn), -1, np.int64)
+    q_ids[0, 1] = 0; q_ids[0, 2] = 0
+    q_ids[0, 9] = 1; q_ids[1, 9] = 1
+    q_ids[1, 4] = 2
+    q_ids[0, 14] = 1
+    embeds = rng.standard_normal((T, Qn, E)).astype(np.float32) * 0.5
+
+    from test_criterion_parity import _ref_modules
+    _, criterion = _ref_modules(False, T)
+    criterion.n_queries = Qn
+    criterion.n_query_bins = nb
+    i, j = torch.meshgrid(torch.arange(nb), torch.arange(nb))
+    idxg = torch.stack([j, i], dim=-1).view(-1, 2)
+    criterion.query_relpos_grid = (idxg[:, None] - idxg[None]).abs()
+    criterion.window_inter_frame_asso = window
+
+    emb_t = torch.tensor(embeds[None], requires_grad=True)
+    ref_ctt, ref_aux = criterion.loss_reid_query_init(
+        emb_t, torch.from_numpy(q_ids)[None])
+    g_ctt_ref = torch.autograd.grad(ref_ctt, emb_t, retain_graph=True)[0][0]
+    g_aux_ref = torch.autograd.grad(ref_aux, emb_t)[0][0]
+
+    cfg = CriterionCfg(num_classes=5, n_frames=T, n_query=Qn,
+                       window_inter_frame_asso=window)
+    N = 3
+    gt_ids = jnp.asarray(np.tile(np.arange(N)[:, None], (1, T)), jnp.int32)
+    gt_valid = jnp.ones((N,), bool)
+    relpos = jnp.asarray(query_relpos_grid(nb))
+    key = jax.random.PRNGKey(0)
+
+    def ctt_of(e):
+        c, _, _ = _reid_loss_video(cfg, e, jnp.asarray(q_ids, jnp.int32),
+                                   gt_ids, gt_valid, relpos, key)
+        return c / N
+
+    def aux_of(e):
+        _, a, _ = _reid_loss_video(cfg, e, jnp.asarray(q_ids, jnp.int32),
+                                   gt_ids, gt_valid, relpos, key)
+        return a / N
+
+    g_ctt = jax.grad(ctt_of)(jnp.asarray(embeds))
+    g_aux = jax.grad(aux_of)(jnp.asarray(embeds))
+    _assert_grad_close(g_ctt, g_ctt_ref.numpy(), "reid/ctt", tol=5e-5)
+    _assert_grad_close(g_aux, g_aux_ref.numpy(), "reid/aux", tol=5e-5)
+
+
+def test_reid_loss_gradient_finite_capped_regime():
+    """In the capped/masked regime (fired candidate pools exceed both dynamic-k
+    caps, some instances absent -> `use`=False branch active) the selected sets
+    diverge from the reference's randperm stream, so no value comparison is
+    possible — but the gradient must be finite: -inf priorities flowing
+    through top_k, jnp.where(use, ...) dead branches, and the 1e-12-clipped
+    normalizations are all NaN-through-vjp hazards."""
+    from mdqe_cvpr2023_tpu.losses import CriterionCfg
+    from mdqe_cvpr2023_tpu.losses.criterion import _reid_loss_video
+    from mdqe_cvpr2023_tpu.models.decoder import query_relpos_grid
+
+    nb, T, E = 8, 2, 8
+    Qn = nb * nb                       # TQ = 128 > K_neg = min(50*T, TQ) = 100
+    rng = np.random.default_rng(1)
+    # ids: instance 0 occupies many queries (pos pool > cap), the rest mostly
+    # background (-1) so the fired diff pool exceeds 100; one zero-norm embed
+    # row stresses the clipped normalization's vjp
+    q_ids = rng.integers(-1, 2, (T, Qn)).astype(np.int64)
+    q_ids[0, :20] = 0
+    embeds = rng.standard_normal((T, Qn, E)).astype(np.float32)
+    embeds[1, 0] = 0.0
+
+    cfg = CriterionCfg(num_classes=5, n_frames=T, n_query=Qn,
+                       window_inter_frame_asso=5)
+    N = 4                              # instance 3 never appears -> use=False
+    gt_ids = jnp.asarray(np.tile(np.arange(N)[:, None], (1, T)), jnp.int32)
+    gt_valid = jnp.asarray([True, True, True, False])
+    relpos = jnp.asarray(query_relpos_grid(nb))
+
+    def total(e):
+        c, a, cnt = _reid_loss_video(cfg, e, jnp.asarray(q_ids, jnp.int32),
+                                     gt_ids, gt_valid, relpos,
+                                     jax.random.PRNGKey(1))
+        return (c + a) / jnp.clip(cnt, 1.0, None)
+
+    val, g = jax.value_and_grad(total)(jnp.asarray(embeds))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g))), "NaN/inf in reid grad"
+
+
 def test_mask_head_gradient_parity():
     ref = load_reference_models()
     torch.manual_seed(3)
