@@ -72,6 +72,53 @@ def main():
     trainer = Trainer(cfg, datasets_root=root)
     metrics, predictions = trainer.test()
 
+    # --- cross-process gradient all-reduce: ONE real optimizer step ---
+    # (reference DDP all-reduces grads every step, train_net.py:264-271; until
+    # round 5 our grad psum had only ever run on a single-process mesh). Global
+    # batch = num_procs videos, mesh = one device per process, so every grad
+    # psum crosses the gloo transport. The parent test compares the updated
+    # params against a single-process run of the SAME step (tests/tiny_train.py
+    # guarantees bit-identical configs/params/batch on both sides).
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tiny_train import tiny_batch, tiny_train_setup
+
+    params, tx, opt_state, step = tiny_train_setup()
+    batch = tiny_batch(B=num_procs)
+    T = 2
+
+    one_per_proc = [next(d for d in jax.devices() if d.process_index == p)
+                    for p in range(num_procs)]
+    mesh = Mesh(np.asarray(one_per_proc), ("data",))
+
+    def to_global(x, local_rows):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), local_rows, np.shape(x))
+
+    gbatch = {}
+    for k, v in batch.items():
+        rows_per_video = T if v.shape[0] == num_procs * T else 1
+        local = v[proc_id * rows_per_video:(proc_id + 1) * rows_per_video]
+        gbatch[k] = to_global(v, local)
+    rep = NamedSharding(mesh, P())
+    params_r = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        params)
+    opt_r = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        opt_state)
+
+    with mesh:
+        params2, _, total, _ = step(params_r, opt_r, gbatch,
+                                    jax.random.PRNGKey(1))
+        jax.block_until_ready(total)
+    flat, _ = jax.tree_util.tree_flatten(params2)
+    np.savez(os.path.join(workdir, f"params_after_{proc_id}.npz"),
+             **{str(i): np.asarray(x.addressable_data(0)) for i, x in
+                enumerate(flat)})
+
     results_path = os.path.join(out_dir, "results_ytvis_ovis_dev.json")
     report = {
         "rank": proc_id,
@@ -79,6 +126,7 @@ def main():
         "gathered_video_ids": sorted(p["video_id"] for p in predictions),
         "is_main": is_main_process(),
         "wrote_results": os.path.exists(results_path),
+        "train_total_loss": float(np.asarray(total.addressable_data(0))),
     }
     with open(os.path.join(workdir, f"report_{proc_id}.json"), "w") as f:
         json.dump(report, f)

@@ -46,7 +46,8 @@ def test_two_process_cluster(tmp_path):
          f"127.0.0.1:{port}", "2", str(i), str(tmp_path)],
         cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for i in range(2)]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    # workers compile the eval pipeline AND a train step on cold CPU caches
+    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
 
@@ -68,3 +69,33 @@ def test_two_process_cluster(tmp_path):
     with open(tmp_path / "out_rank0" / "results_ytvis_ovis_dev.json") as f:
         written = json.load(f)
     assert sorted(p["video_id"] for p in written) == [1, 2, 3, 4, 5]
+
+    # --- cross-process grad all-reduce == single-process step (r4 missing #3,
+    # reference DDP grad all-reduce /root/reference/train_net.py:264-271) ---
+    # oracle: the bit-identical setup/batch on ONE process (2-device mesh), so
+    # the only difference is the gloo transport under the grad psum
+    oracle = subprocess.run(
+        [sys.executable, os.path.join(HERE, "tiny_train.py"), str(tmp_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600)
+    assert oracle.returncode == 0, oracle.stdout + oracle.stderr
+
+    after = [np.load(tmp_path / f"params_after_{i}.npz") for i in range(2)]
+    ref = np.load(tmp_path / "params_oracle.npz")
+    assert set(after[0].files) == set(ref.files)
+    # both ranks hold the same replicated updated params (the psum agreed)
+    for k in ref.files:
+        np.testing.assert_array_equal(after[0][k], after[1][k])
+    # and they match the single-process step to fp tolerance (reduction order
+    # may differ between gloo and in-process XLA collectives)
+    worst = 0.0
+    for k in ref.files:
+        np.testing.assert_allclose(after[0][k], ref[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=f"leaf {k}")
+        d = np.max(np.abs(after[0][k] - ref[k])) if ref[k].size else 0.0
+        worst = max(worst, float(d))
+    # losses agree too
+    with open(tmp_path / "oracle_total.txt") as f:
+        oracle_total = float(f.read())
+    for r in reports:
+        assert abs(r["train_total_loss"] - oracle_total) < 1e-3 * max(
+            1.0, abs(oracle_total)), (r["train_total_loss"], oracle_total)

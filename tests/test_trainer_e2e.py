@@ -1,57 +1,14 @@
 """End-to-end Trainer smoke test: synthetic on-disk dataset -> config -> train loop
 -> orbax checkpoint -> eval with AP computation. Tiny model, CPU."""
-import json
 import os
 
-import numpy as np
 import pytest
 
 
 @pytest.fixture(scope="module")
 def mini_dataset(tmp_path_factory):
-    root = tmp_path_factory.mktemp("ds")
-    from mdqe_cvpr2023_tpu.data import rle as rle_util
-    try:
-        import cv2
-        write = lambda p, img: cv2.imwrite(str(p), img[:, :, ::-1])
-    except Exception:
-        from PIL import Image
-        write = lambda p, img: Image.fromarray(img).save(str(p))
-
-    rng = np.random.default_rng(0)
-    H, W, T = 64, 64, 6
-    videos, annotations = [], []
-    os.makedirs(root / "ovis", exist_ok=True)
-    for vid in range(1, 3):
-        fnames = []
-        os.makedirs(root / "ovis" / "train" / f"v{vid}", exist_ok=True)
-        for t in range(T):
-            img = np.full((H, W, 3), 30, np.uint8)
-            y = 8 + 4 * t
-            img[y:y + 18, 10 + vid * 8:28 + vid * 8] = [200, 60, 60]
-            write(root / "ovis" / "train" / f"v{vid}/f{t}.jpg", img)
-            fnames.append(f"v{vid}/f{t}.jpg")
-        videos.append({"id": vid, "file_names": fnames, "height": H, "width": W,
-                       "length": T})
-        segs, bboxes, areas = [], [], []
-        for t in range(T):
-            m = np.zeros((H, W), bool)
-            y = 8 + 4 * t
-            m[y:y + 18, 10 + vid * 8:28 + vid * 8] = True
-            segs.append(rle_util.encode(m))
-            bboxes.append([10.0 + vid * 8, float(y), 18.0, 18.0])
-            areas.append(int(m.sum()))
-        annotations.append({"id": vid, "video_id": vid, "category_id": 1,
-                            "segmentations": segs, "bboxes": bboxes,
-                            "areas": areas, "iscrowd": 0})
-    gt = {"videos": videos, "annotations": annotations,
-          "categories": [{"id": 1, "name": "thing"}]}
-    with open(root / "ovis" / "annotations_train.json", "w") as f:
-        json.dump(gt, f)
-    with open(root / "ovis" / "valid_sub.json", "w") as f:
-        json.dump(gt, f)
-    # point the dev split's image root at train images
-    return root
+    from synth_dataset import build_mini_dataset
+    return build_mini_dataset(tmp_path_factory.mktemp("ds"))
 
 
 @pytest.mark.slow
