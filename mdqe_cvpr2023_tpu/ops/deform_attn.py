@@ -74,9 +74,20 @@ def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
     if impl == "auto":
         impl = "xla" if jax.default_backend() in ("cpu",) else "pallas"
     if impl == "pallas":
-        from .deform_attn_pallas import ms_deform_attn_pallas
+        import os
+        from .deform_attn_pallas import Q_TILE, ms_deform_attn_pallas
+        # banded kernels pay off when the queries ARE the pixels (encoder
+        # self-attention, Q == N): block-permuted q-tiles are spatially local
+        # so each grid cell contracts only a small patch per level. Scattered
+        # small-Q callers (decoder) keep the legacy full-contraction kernels.
+        # MDQE_DEFORM_BANDED=0/1 forces either path (perf A/B). Positional
+        # args: custom_vjp nondiff args don't accept keywords.
+        env = os.environ.get("MDQE_DEFORM_BANDED")
+        banded = (value.shape[1] == sampling_locations.shape[1]
+                  if env is None else env == "1")
         return ms_deform_attn_pallas(value, tuple(spatial_shapes),
-                                     sampling_locations, attention_weights)
+                                     sampling_locations, attention_weights,
+                                     Q_TILE, "bfloat16", banded)
     return _ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
                                attention_weights)
 

@@ -393,19 +393,568 @@ def _deform_attn_level_bwd(v, g, gout, *, h, w, P, q_tile, compute_dtype_name,
     return dg, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5))
+# ---------------------------------------------------------------------------
+# banded forward/backward (round 5)
+#
+# The hat-matmul contracts the FULL folded axis per query-point: ~O(10^3) more
+# FLOPs than the 4-tap bilinear sample it implements (reference CUDA kernel:
+# ms_deform_im2col_cuda.cuh:237-299 does O(4-tap) work). But encoder sampling
+# is LOCAL: offsets are learned around a small rotational-grid init
+# (ms_deform_attn.py:93-98), so after permuting encoder queries into 16x16
+# spatial blocks, each (batch, head, q-tile) grid cell touches only a small
+# (rows x cols) patch of each level. The banded kernel:
+#
+#   - stores V position-major per level: (rows, cols*D) with rows = the LONGER
+#     spatial dim (lane index = col*D + d, so an x-band is a CONTIGUOUS,
+#     128-aligned lane slice when the band start is a multiple of 4 pixels)
+#   - computes per (cell, level) band origins IN-KERNEL from the clamped
+#     sampling coords (coords outside [-1, size] contribute zero hats, so
+#     clamping for band selection is exact)
+#   - contracts hy against only the (BR, BF*D) patch on the MXU, folds hx in
+#     as a VPU epilogue with hats built DIRECTLY in the position-major lane
+#     layout via iota // D (no interleave/repeat needed), and sums cols per
+#     channel with a 0/1 comb matmul
+#   - keeps an exact full-extent fallback per (cell, level) under pl.when for
+#     cells whose samples don't fit the band (coarse-level query tiles
+#     sampling fine levels, tiles straddling level boundaries)
+#
+# Band-start alignment (Mosaic): sublane offsets multiples of 8, lane offsets
+# multiples of 128 (=> col band start multiple of 4 pixels at D=32).
+# ---------------------------------------------------------------------------
+
+BAND_R = 32   # contracted-axis band (rows); starts 8-aligned
+BAND_F = 32   # minor-axis band (cols, in pixels); starts 4-aligned
+
+
+@functools.lru_cache(maxsize=32)
+def _query_block_perm(spatial_shapes, block=16):
+    """Permutation of raster query order into per-level (block x block) spatial
+    blocks (raster within each block), plus its inverse. numpy, static."""
+    import numpy as np
+    perm = []
+    base = 0
+    for (h, w) in spatial_shapes:
+        h, w = int(h), int(w)
+        idx = np.arange(h * w).reshape(h, w)
+        for y0 in range(0, h, block):
+            for x0 in range(0, w, block):
+                perm.append(base + idx[y0:y0 + block, x0:x0 + block].ravel())
+        base += h * w
+    perm = np.concatenate(perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return perm, inv
+
+
+def _band_plan(r, f, D):
+    """Static per-level plan: (rpad, BR, BF). BR=rpad / BF=f mean 'no band on
+    that axis' (the level is small enough to take whole)."""
+    rpad = _round_up(int(r), 8)
+    br = BAND_R if rpad > BAND_R else rpad
+    bf = BAND_F if int(f) > BAND_F else int(f)
+    return rpad, br, bf
+
+
+def _banded_level_body(gr_list, gf_list, aw_list, v_ref, out_add, *, Qt, r, f,
+                       D, P, br, bf, rlo, flo, compute_dtype, interpret,
+                       with_aw=True):
+    """One level's forward contribution for one grid cell, over the (br, bf*D)
+    patch at (rlo, flo*D). rlo/flo may be traced (band) or 0 (full). Calls
+    out_add(part) with part (Qt, D) f32."""
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (Qt, br), 1) + rlo
+          ).astype(jnp.float32)
+    hy_p = []
+    for p in range(P):
+        hy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - gr_list[p]))
+        hy_p.append(hy * aw_list[p] if with_aw else hy)
+    hy = jnp.concatenate(hy_p, axis=0)                      # (PQt, br)
+    if bf == f and isinstance(flo, int):
+        patch = v_ref[0, 0, pl.ds(rlo, br), :]
+    else:
+        patch = v_ref[0, 0, pl.ds(rlo, br),
+                      pl.ds(pl.multiple_of(flo * D, 128), bf * D)]
+    s = jnp.dot(hy.astype(compute_dtype), patch.astype(compute_dtype),
+                preferred_element_type=jnp.float32)         # (PQt, bf*D)
+    # hx built directly in position-major lane layout: col = lane // D
+    ixf = ((jax.lax.broadcasted_iota(jnp.int32, (Qt, bf * D), 1) // D) + flo
+           ).astype(jnp.float32)
+    hx_p = [jnp.maximum(0.0, 1.0 - jnp.abs(ixf - gf_list[p]))
+            for p in range(P)]
+    hx = jnp.concatenate(hx_p, axis=0)                      # (PQt, bf*D)
+    t = s.astype(compute_dtype) * hx.astype(compute_dtype)
+    comb = (jax.lax.broadcasted_iota(jnp.int32, (bf * D, D), 0) % D
+            == jax.lax.broadcasted_iota(jnp.int32, (bf * D, D), 1)
+            ).astype(compute_dtype)
+    part = jnp.dot(t, comb, preferred_element_type=jnp.float32)
+    out_add(part.reshape(P, Qt, D).sum(axis=0))
+
+
+def _band_origin(gr_list, gf_list, *, r, f, rpad, br, bf):
+    """Traced band origins + fits flag from per-point (Qt,1) coord columns.
+    Clamps coords to the hat support so never-contributing samples don't
+    widen the band; rows >= r land on zero pad rows (exact zero-padding)."""
+    rmin = rmax = fmin = fmax = None
+    for p in range(len(gr_list)):
+        gr = jnp.clip(gr_list[p], -1.0, float(r))
+        gf = jnp.clip(gf_list[p], -1.0, float(f))
+        lo_r, hi_r = jnp.min(gr), jnp.max(gr)
+        lo_f, hi_f = jnp.min(gf), jnp.max(gf)
+        rmin = lo_r if rmin is None else jnp.minimum(rmin, lo_r)
+        rmax = hi_r if rmax is None else jnp.maximum(rmax, hi_r)
+        fmin = lo_f if fmin is None else jnp.minimum(fmin, lo_f)
+        fmax = hi_f if fmax is None else jnp.maximum(fmax, hi_f)
+    rmin_i = jnp.floor(rmin).astype(jnp.int32)
+    rhi = jnp.minimum(jnp.floor(rmax).astype(jnp.int32) + 1, r - 1)
+    rlo = pl.multiple_of(jnp.clip((rmin_i // 8) * 8, 0, rpad - br), 8)
+    fmin_i = jnp.floor(fmin).astype(jnp.int32)
+    fhi = jnp.minimum(jnp.floor(fmax).astype(jnp.int32) + 1, f - 1)
+    flo = pl.multiple_of(jnp.clip((fmin_i // 4) * 4, 0, ((f - bf) // 4) * 4),
+                         4)
+    fits = jnp.logical_and(rhi < rlo + br, fhi < flo + bf)
+    return rlo, flo, fits
+
+
+def _make_banded_kernel(plans, D, P, compute_dtype, interpret):
+    """plans: per level (r, f, rpad, br, bf). Grid cell: (batch, head, q-tile).
+    g layout identical to _make_fused_kernel (query-major, [gr; gf; aw] per
+    level); out accumulated across levels in VMEM via the out ref."""
+    L = len(plans)
+
+    def kernel(g_ref, *refs):
+        v_refs = refs[:L]
+        out_ref = refs[L]
+        Qt = g_ref.shape[2]
+        out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+        def add(part):
+            out_ref[0, 0] += part
+
+        for l, (r, f, rpad, br, bf) in enumerate(plans):
+            base = l * 3 * P
+            grs = [g_ref[0, 0, :, base + p:base + p + 1] for p in range(P)]
+            gfs = [g_ref[0, 0, :, base + P + p:base + P + p + 1]
+                   for p in range(P)]
+            aws = [g_ref[0, 0, :, base + 2 * P + p:base + 2 * P + p + 1]
+                   for p in range(P)]
+            common = dict(Qt=Qt, r=r, f=f, D=D, P=P,
+                          compute_dtype=compute_dtype, interpret=interpret)
+            if br >= rpad and bf >= f:
+                _banded_level_body(grs, gfs, aws, v_refs[l], add,
+                                   br=rpad, bf=f, rlo=0, flo=0, **common)
+                continue
+            rlo, flo, fits = _band_origin(grs, gfs, r=r, f=f, rpad=rpad,
+                                          br=br, bf=bf)
+
+            @pl.when(fits)
+            def _band(l=l, grs=grs, gfs=gfs, aws=aws, rlo=rlo,
+                      flo=(flo if bf < f else 0), br=br, bf=bf,
+                      common=common):
+                # static flo=0 when the minor axis isn't banded: the body then
+                # takes the full-lane read (a traced 0 would force a dynamic
+                # lane ds whose SIZE f*D may not be 128-aligned)
+                _banded_level_body(grs, gfs, aws, v_refs[l], add,
+                                   br=br, bf=bf, rlo=rlo, flo=flo, **common)
+
+            @pl.when(jnp.logical_not(fits))
+            def _full(l=l, grs=grs, gfs=gfs, aws=aws, rpad=rpad, f=f,
+                      common=common):
+                _banded_level_body(grs, gfs, aws, v_refs[l], add,
+                                   br=rpad, bf=f, rlo=0, flo=0, **common)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plans", "P", "H", "q_tile",
+                                             "compute_dtype_name", "interpret"))
+def _deform_attn_banded(g, *vs, plans, P, H, q_tile, compute_dtype_name,
+                        interpret=False):
+    """g (B, H, Qp, L*3P) query-major (block-permuted); vs[l] (B, H, rpad_l,
+    f_l*D) position-major -> (B, H, Qp, D) f32."""
+    B = g.shape[0]
+    Qp = g.shape[2]
+    D = vs[0].shape[3] // plans[0][1]
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    L = len(plans)
+
+    flops = sum(2 * B * H * Qp * P * (br + D) * bf * D
+                for (_, _, _, br, bf) in plans)
+    in_specs = [pl.BlockSpec((1, 1, q_tile, 3 * P * L),
+                             lambda b, hd, q: (b, hd, q, 0),
+                             memory_space=pltpu.VMEM)]
+    for (r, f, rpad, _, _) in plans:
+        in_specs.append(pl.BlockSpec((1, 1, rpad, f * D),
+                                     lambda b, hd, q: (b, hd, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _make_banded_kernel(plans, D, P, compute_dtype, interpret),
+        out_shape=jax.ShapeDtypeStruct((B, H, Qp, D), jnp.float32),
+        grid=(B, H, Qp // q_tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, q_tile, D),
+                               lambda b, hd, q: (b, hd, q, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=sum(v.size * 2 for v in vs),
+            transcendentals=0),
+        interpret=interpret,
+    )(g, *vs)
+    return out
+
+
+def _pack_banded(value, spatial_shapes, sampling_locations, attention_weights,
+                 q_tile):
+    """Shared fwd/bwd packing: block-permuted query-major g, position-major
+    per-level v arrays (rows = longer dim, rows zero-padded to /8), plans,
+    and the inverse permutation. Returns (g (B,H,Qp,L3P), vs, plans, inv, Q)."""
+    B, N, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+
+    loc = sampling_locations.astype(jnp.float32)
+    attw = attention_weights.astype(jnp.float32)
+    Qp = _round_up(Q, q_tile)
+    pad_q = Qp - Q
+    perm, inv = _query_block_perm(tuple((int(h), int(w))
+                                        for h, w in spatial_shapes))
+    perm_j = jnp.asarray(perm)
+
+    vt = value.transpose(0, 2, 1, 3).reshape(B, H, N, D)
+    g_cols, vs, plans = [], [], []
+    start = 0
+    for l, (h_l, w_l) in enumerate(spatial_shapes):
+        h_l, w_l = int(h_l), int(w_l)
+        hw = h_l * w_l
+        v_l = jax.lax.dynamic_slice_in_dim(vt, start, hw, axis=2)
+        start += hw
+        gy = loc[:, :, :, l, :, 1].transpose(0, 2, 1, 3) * h_l - 0.5
+        gx = loc[:, :, :, l, :, 0].transpose(0, 2, 1, 3) * w_l - 0.5
+        aw = attw[:, :, :, l].transpose(0, 2, 1, 3)
+        if w_l >= h_l:   # rows = w (longer): (B,H,w, h*D), minor idx = y*D+d
+            v_arr = v_l.reshape(B, H, h_l, w_l, D).transpose(0, 1, 3, 2, 4)
+            v_arr = v_arr.reshape(B, H, w_l, h_l * D)
+            gr, gf, r, f = gx, gy, w_l, h_l
+        else:            # rows = h: flat (h, w*D) needs NO transpose
+            v_arr = v_l.reshape(B, H, h_l, w_l * D)
+            gr, gf, r, f = gy, gx, h_l, w_l
+        rpad, br, bf = _band_plan(r, f, D)
+        if rpad > r:
+            v_arr = jnp.pad(v_arr, ((0, 0), (0, 0), (0, rpad - r), (0, 0)))
+        plans.append((r, f, rpad, br, bf))
+        vs.append(v_arr)
+        g_cols.extend([gr, gf, aw])
+    g = jnp.concatenate(g_cols, axis=3)                     # (B,H,Q,L*3P)
+    g = jnp.take(g, perm_j, axis=2)
+    if pad_q:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, pad_q), (0, 0)),
+                    constant_values=-10.0)
+    return g, vs, tuple(plans), inv, Q
+
+
+def _forward_banded(value, spatial_shapes, sampling_locations,
+                    attention_weights, q_tile: int, compute_dtype_name: str):
+    B, N, H, D = value.shape
+    g, vs, plans, inv, Q = _pack_banded(value, spatial_shapes,
+                                        sampling_locations, attention_weights,
+                                        q_tile)
+    cdt = jnp.dtype(compute_dtype_name)
+    vs = [v.astype(cdt) for v in vs]
+    out = _deform_attn_banded(g, *vs, plans=plans, P=int(
+        sampling_locations.shape[4]), H=H, q_tile=min(q_tile, g.shape[2]),
+        compute_dtype_name=compute_dtype_name, interpret=_INTERPRET)
+    out = out.transpose(0, 2, 1, 3).reshape(B, g.shape[2], H * D)
+    return jnp.take(out[:, :Q], jnp.asarray(inv), axis=1)
+
+
+# --- banded backward ----------------------------------------------------
+
+
+def _banded_bwd_sample_body(g_ref, v_ref, gout_ref, out_ref, *, Qt, r, f, D,
+                            P, br, bf, rlo, flo, compute_dtype, interpret):
+    """Write (dgr; dgf; daw) rows for one cell over the (br, bf*D) patch."""
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (Qt, br), 1) + rlo
+          ).astype(jnp.float32)
+    ixf = ((jax.lax.broadcasted_iota(jnp.int32, (Qt, bf * D), 1) // D) + flo
+           ).astype(jnp.float32)
+    hy_p, dhy_p, hx_p, dhx_p = [], [], [], []
+    for p in range(P):
+        gr = g_ref[0, :, p:p + 1]
+        gf = g_ref[0, :, P + p:P + p + 1]
+        aw = g_ref[0, :, 2 * P + p:2 * P + p + 1]
+        dy = iy - gr
+        hy_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(dy)))
+        dhy_p.append(jnp.where(jnp.abs(dy) < 1.0, jnp.sign(dy), 0.0) * aw)
+        dxf = ixf - gf
+        hx_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(dxf)))
+        dhx_p.append(jnp.where(jnp.abs(dxf) < 1.0, jnp.sign(dxf), 0.0) * aw)
+    hy = jnp.concatenate(hy_p, axis=0)                       # (PQt, br)
+    dhy = jnp.concatenate(dhy_p, axis=0)
+    hx = jnp.concatenate(hx_p, axis=0)                       # (PQt, bf*D)
+    dhx = jnp.concatenate(dhx_p, axis=0)
+
+    if bf == f and isinstance(flo, int):
+        patch = v_ref[0, pl.ds(rlo, br), :]
+    else:
+        patch = v_ref[0, pl.ds(rlo, br),
+                      pl.ds(pl.multiple_of(flo * D, 128), bf * D)]
+    patch = patch.astype(compute_dtype)
+    s = jnp.dot(hy.astype(compute_dtype), patch,
+                preferred_element_type=jnp.float32)          # (PQt, bf*D)
+    sd = jnp.dot(dhy.astype(compute_dtype), patch,
+                 preferred_element_type=jnp.float32)
+    comb = (jax.lax.broadcasted_iota(jnp.int32, (bf * D, D), 0) % D
+            == jax.lax.broadcasted_iota(jnp.int32, (bf * D, D), 1)
+            ).astype(compute_dtype)
+    hxc = hx.astype(compute_dtype)
+    z_a = jnp.dot(s.astype(compute_dtype) * hxc, comb,
+                  preferred_element_type=jnp.float32)        # (PQt, D)
+    z_gr = jnp.dot(sd.astype(compute_dtype) * hxc, comb,
+                   preferred_element_type=jnp.float32)
+    z_gf = jnp.dot(s.astype(compute_dtype) * dhx.astype(compute_dtype), comb,
+                   preferred_element_type=jnp.float32)
+
+    gout = gout_ref[0]                                       # (Qt, D)
+    out_ref[0, :P] = (z_gr.reshape(P, Qt, D) * gout[None]).sum(-1)
+    out_ref[0, P:2 * P] = (z_gf.reshape(P, Qt, D) * gout[None]).sum(-1)
+    out_ref[0, 2 * P:3 * P] = (z_a.reshape(P, Qt, D) * gout[None]).sum(-1)
+
+
+def _banded_bwd_value_body(g_ref, gout_ref, out_ref, *, Qt, r, f, D, P, br,
+                           bf, rlo, flo, compute_dtype, interpret):
+    """out[rlo:rlo+br, flo*D:...+bf*D] += hy^T @ (repeat(gout) * hx * aw)."""
+    iy = (jax.lax.broadcasted_iota(jnp.int32, (Qt, br), 1) + rlo
+          ).astype(jnp.float32)
+    ixf = ((jax.lax.broadcasted_iota(jnp.int32, (Qt, bf * D), 1) // D) + flo
+           ).astype(jnp.float32)
+    hy_p, hxa_p = [], []
+    for p in range(P):
+        gr = g_ref[0, :, p:p + 1]
+        gf = g_ref[0, :, P + p:P + p + 1]
+        aw = g_ref[0, :, 2 * P + p:2 * P + p + 1]
+        hy_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(iy - gr)))
+        hxa_p.append(jnp.maximum(0.0, 1.0 - jnp.abs(ixf - gf)) * aw)
+    hy = jnp.concatenate(hy_p, axis=0)                       # (PQt, br)
+    hxa = jnp.concatenate(hxa_p, axis=0)                     # (PQt, bf*D)
+
+    gout = gout_ref[0].astype(compute_dtype)                 # (Qt, D)
+    gp = _repeat_rows(gout, P, interpret)                    # (PQt, D)
+    # position-major expansion: tiling whole D-blocks bf times puts gout[q, d]
+    # at column x*D+d for every x — no expand matmul needed (the channel-major
+    # legacy kernel pays a (PQt, D) @ (D, D*f) matmul for this)
+    gexp = _repeat_cols(gp, bf, interpret)                   # (PQt, bf*D)
+    m = hxa.astype(compute_dtype) * gexp
+    acc = jax.lax.dot_general(
+        hy.astype(compute_dtype), m,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (br, bf*D)
+    if bf == f and isinstance(flo, int):
+        out_ref[0, pl.ds(rlo, br), :] += acc
+    else:
+        out_ref[0, pl.ds(rlo, br),
+                pl.ds(pl.multiple_of(flo * D, 128), bf * D)] += acc
+
+
+def _make_banded_bwd_kernels(plan, D, P, compute_dtype, interpret):
+    """Per-level banded backward kernel bodies. plan = (r, f, rpad, br, bf)."""
+    r, f, rpad, br, bf = plan
+    banded = not (br >= rpad and bf >= f)
+
+    def origins(g_ref):
+        grs = [g_ref[0, :, p:p + 1] for p in range(P)]
+        gfs = [g_ref[0, :, P + p:P + p + 1] for p in range(P)]
+        return _band_origin(grs, gfs, r=r, f=f, rpad=rpad, br=br, bf=bf)
+
+    def sample_kernel(g_ref, v_ref, gout_ref, out_ref):
+        Qt = g_ref.shape[1]
+        common = dict(Qt=Qt, r=r, f=f, D=D, P=P, compute_dtype=compute_dtype,
+                      interpret=interpret)
+        if not banded:
+            _banded_bwd_sample_body(g_ref, v_ref, gout_ref, out_ref,
+                                    br=rpad, bf=f, rlo=0, flo=0, **common)
+            return
+        rlo, flo, fits = origins(g_ref)
+        flo = flo if bf < f else 0  # see _make_banded_kernel note
+
+        @pl.when(fits)
+        def _():
+            _banded_bwd_sample_body(g_ref, v_ref, gout_ref, out_ref,
+                                    br=br, bf=bf, rlo=rlo, flo=flo, **common)
+
+        @pl.when(jnp.logical_not(fits))
+        def _():
+            _banded_bwd_sample_body(g_ref, v_ref, gout_ref, out_ref,
+                                    br=rpad, bf=f, rlo=0, flo=0, **common)
+
+    def value_kernel(g_ref, gout_ref, out_ref):
+        Qt = g_ref.shape[1]
+        common = dict(Qt=Qt, r=r, f=f, D=D, P=P, compute_dtype=compute_dtype,
+                      interpret=interpret)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        if not banded:
+            _banded_bwd_value_body(g_ref, gout_ref, out_ref,
+                                   br=rpad, bf=f, rlo=0, flo=0, **common)
+            return
+        rlo, flo, fits = origins(g_ref)
+        flo = flo if bf < f else 0  # see _make_banded_kernel note
+
+        @pl.when(fits)
+        def _():
+            _banded_bwd_value_body(g_ref, gout_ref, out_ref,
+                                   br=br, bf=bf, rlo=rlo, flo=flo, **common)
+
+        @pl.when(jnp.logical_not(fits))
+        def _():
+            _banded_bwd_value_body(g_ref, gout_ref, out_ref,
+                                   br=rpad, bf=f, rlo=0, flo=0, **common)
+
+    return sample_kernel, value_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "P", "q_tile",
+                                             "compute_dtype_name", "interpret"))
+def _deform_attn_banded_level_bwd(v, g, gout, *, plan, P, q_tile,
+                                  compute_dtype_name, interpret=False):
+    """v (BH, rpad, f*D) position-major; g (BH, Qp, 3P) block-permuted
+    query-major; gout (BH, Qp, D) -> (dg (BH, 3P, Qp), dv (BH, rpad, f*D))."""
+    BH, Qp, _ = g.shape
+    D = gout.shape[2]
+    r, f, rpad, br, bf = plan
+    compute_dtype = jnp.dtype(compute_dtype_name)
+    sample_kernel, value_kernel = _make_banded_bwd_kernels(
+        plan, D, P, compute_dtype, interpret)
+
+    flops_s = 2 * BH * Qp * P * (2 * br + 3 * D) * bf * D
+    dg = pl.pallas_call(
+        sample_kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, 3 * P, Qp), jnp.float32),
+        grid=(BH, Qp // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, 3 * P), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rpad, f * D), lambda b, q: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, D), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3 * P, q_tile), lambda b, q: (b, 0, q),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(flops=flops_s, bytes_accessed=v.size * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(g, v, gout)
+
+    flops_v = 2 * BH * Qp * P * br * bf * D
+    dv = pl.pallas_call(
+        value_kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, rpad, f * D), jnp.float32),
+        grid=(BH, Qp // q_tile),
+        in_specs=[
+            pl.BlockSpec((1, q_tile, 3 * P), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile, D), lambda b, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rpad, f * D), lambda b, q: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 2 ** 20),
+        cost_estimate=pl.CostEstimate(flops=flops_v, bytes_accessed=v.size * 4,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(g, gout)
+    return dg, dv
+
+
+def _backward_banded(value, spatial_shapes, sampling_locations,
+                     attention_weights, g_up, q_tile: int,
+                     compute_dtype_name: str):
+    """Banded Pallas backward: mirrors _pack_banded's layout exactly."""
+    B, N, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    BH = B * H
+    cdt = jnp.dtype(compute_dtype_name)
+
+    g, vs, plans, inv, _ = _pack_banded(value, spatial_shapes,
+                                        sampling_locations, attention_weights,
+                                        q_tile)
+    Qp = g.shape[2]
+    perm, _ = _query_block_perm(tuple((int(h), int(w))
+                                      for h, w in spatial_shapes))
+    inv_j = jnp.asarray(inv)
+
+    gout = g_up.reshape(B, Q, H, D).transpose(0, 2, 1, 3)
+    gout = jnp.take(gout, jnp.asarray(perm), axis=2).astype(jnp.float32)
+    if Qp > Q:
+        gout = jnp.pad(gout, ((0, 0), (0, 0), (0, Qp - Q), (0, 0)))
+    gout = gout.reshape(BH, Qp, D)
+
+    dvalue_parts, dloc_parts, dattw_parts = [], [], []
+    for l, (h_l, w_l) in enumerate(spatial_shapes):
+        h_l, w_l = int(h_l), int(w_l)
+        plan = plans[l]
+        r, f, rpad, br, bf = plan
+        g_l = g[:, :, :, l * 3 * P:(l + 1) * 3 * P].reshape(BH, Qp, 3 * P)
+        v_l = vs[l].reshape(BH, rpad, f * D).astype(cdt)
+        qt = min(q_tile, Qp)
+        dg, dv = _deform_attn_banded_level_bwd(
+            v_l, g_l, gout, plan=plan, P=P, q_tile=qt,
+            compute_dtype_name=compute_dtype_name, interpret=_INTERPRET)
+        dgr = jnp.take(dg[:, :P, :Q], inv_j, axis=2)
+        dgf = jnp.take(dg[:, P:2 * P, :Q], inv_j, axis=2)
+        da = jnp.take(dg[:, 2 * P:3 * P, :Q], inv_j, axis=2)
+        if w_l >= h_l:   # rows = x: gr = gx (scale w), gf = gy (scale h)
+            dloc_parts.append(jnp.stack([dgr * w_l, dgf * h_l], axis=-1))
+        else:
+            dloc_parts.append(jnp.stack([dgf * w_l, dgr * h_l], axis=-1))
+        dattw_parts.append(da)
+
+        dv = dv[:, :r]                                        # strip row pad
+        if w_l >= h_l:   # (BH, w, h*D) -> (BH, h, w, D)
+            dv = dv.reshape(BH, w_l, h_l, D).transpose(0, 2, 1, 3)
+        else:            # (BH, h, w*D)
+            dv = dv.reshape(BH, h_l, w_l, D)
+        dvalue_parts.append(dv.reshape(BH, h_l * w_l, D))
+
+    dvalue = jnp.concatenate(dvalue_parts, axis=1)            # (BH, N, D)
+    dvalue = dvalue.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    dloc = jnp.stack(dloc_parts, axis=1)                      # (BH,L,P,Q,2)
+    dloc = dloc.reshape(B, H, L, P, Q, 2).transpose(0, 4, 1, 2, 3, 5)
+    dattw = jnp.stack(dattw_parts, axis=1)                    # (BH,L,P,Q)
+    dattw = dattw.reshape(B, H, L, P, Q).transpose(0, 4, 1, 2, 3)
+    return (dvalue.astype(value.dtype),
+            dloc.astype(sampling_locations.dtype),
+            dattw.astype(attention_weights.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4, 5, 6))
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
                           attention_weights, q_tile: int = Q_TILE,
-                          compute_dtype_name: str = "bfloat16"):
-    """Pallas hat-matmul forward (fused levels+heads) with a Pallas VJP."""
+                          compute_dtype_name: str = "bfloat16",
+                          banded: bool = False):
+    """Pallas hat-matmul forward (fused levels+heads) with a Pallas VJP.
+    banded=True uses the block-permuted banded-patch kernels (encoder-scale
+    raster queries); banded=False the full-contraction legacy kernels."""
+    if banded:
+        return _forward_banded(value, spatial_shapes, sampling_locations,
+                               attention_weights, q_tile, compute_dtype_name)
     return _forward_fused(value, spatial_shapes, sampling_locations,
                           attention_weights, q_tile, compute_dtype_name)
 
 
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights, q_tile,
-         compute_dtype_name):
-    out = _forward_fused(value, spatial_shapes, sampling_locations,
-                         attention_weights, q_tile, compute_dtype_name)
+         compute_dtype_name, banded):
+    fwd = _forward_banded if banded else _forward_fused
+    out = fwd(value, spatial_shapes, sampling_locations, attention_weights,
+              q_tile, compute_dtype_name)
     return out, (value, sampling_locations, attention_weights)
 
 
@@ -497,7 +1046,7 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
             dattw.astype(attention_weights.dtype))
 
 
-def _bwd(spatial_shapes, q_tile, compute_dtype_name, res, g):
+def _bwd(spatial_shapes, q_tile, compute_dtype_name, banded, res, g):
     value, loc, attw = res
     if jax.default_backend() in ("cpu",) and not _INTERPRET:
         # CPU (non-interpret) can't run the Pallas kernels
@@ -505,8 +1054,9 @@ def _bwd(spatial_shapes, q_tile, compute_dtype_name, res, g):
                                                              l, a),
                          value, loc, attw)
         return vjp(g)
-    return _backward(value, spatial_shapes, loc, attw, g, q_tile,
-                     compute_dtype_name)
+    bwd = _backward_banded if banded else _backward
+    return bwd(value, spatial_shapes, loc, attw, g, q_tile,
+               compute_dtype_name)
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)
