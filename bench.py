@@ -244,6 +244,22 @@ def _geometry_line(jax, name, g, n_runs=2):
     print(json.dumps(line), flush=True)
 
 
+def _tunnel_probe(jax):
+    """Round-trip a tiny matmul through the tunnel BEFORE the real runs and
+    report its latency. A healthy window round-trips in well under a second;
+    tens of seconds (or a timeout upstream) means the tunnel/device is wedged
+    or in a pathologically slow window — in that state every wall-clock number
+    in this file measures the tunnel, not the code, and the JSON line says so."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    x = jax.jit(lambda a: a @ a)(jnp.ones((256, 256), jnp.float32))
+    np.asarray(x)[0, 0]
+    t1 = time.perf_counter()
+    x = jax.jit(lambda a: a @ a)(jnp.full((256, 256), 2.0, jnp.float32))
+    np.asarray(x)[0, 0]
+    return round(t1 - t0, 3), round(time.perf_counter() - t1, 3)
+
+
 def main():
     import jax
     from mdqe_cvpr2023_tpu.utils.compile_cache import enable as enable_cache
@@ -251,6 +267,8 @@ def main():
     from mdqe_cvpr2023_tpu.models.meta import (TIMERS, InferenceCfg,
                                                inference_vis,
                                                preprocess_frames)
+
+    probe_cold_s, probe_warm_s = _tunnel_probe(jax)
 
     cfg = MDQEModelCfg(backbone="resnet50", num_classes=25, hidden_dim=256,
                       n_heads=8, enc_layers=6, dec_layers=6, n_frames=4,
@@ -331,6 +349,7 @@ def main():
         "runs": [round(r, 3) for r in rates],
         "wall_seconds_best": round(times[best], 3),
         "stage_seconds_best": stage_snaps[best],
+        "tunnel_probe_s": [probe_cold_s, probe_warm_s],
     }
     if busy_s is not None and wall_tr:
         line.update({"device_busy_seconds": round(busy_s, 3),
