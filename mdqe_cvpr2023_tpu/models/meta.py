@@ -381,6 +381,17 @@ def _take_rows(a, idx):
     return jnp.take(a, idx, axis=0)
 
 
+@jax.jit
+def _pack_cls_counts(clss, nums):
+    """Flatten per-window cls scores + instance counts into one f32 vector so
+    the end-of-video host reads cost ONE device->host transfer total (counts
+    are small ints, exact in f32). Layout: [cls_0.ravel(), ..., counts]."""
+    parts = [c.reshape(-1).astype(jnp.float32) for c in clss]
+    if nums:
+        parts.append(jnp.stack([n.astype(jnp.float32).reshape(()) for n in nums]))
+    return jnp.concatenate(parts)
+
+
 def _finalize_selected(window_out, rows, inf_cfg: InferenceCfg, image_size,
                        ori_size):
     """Upsample + bit-pack ONLY the given live rows of a deferred window's avg
@@ -647,15 +658,36 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     # per window) and turns the dominant crowded-video cost from O(live
     # instances) into O(top-k). Budget-evicted windows already transferred all
     # their live rows (exact either way).
+    # One packed fetch for every remaining tiny read: through the tunnel each
+    # np.asarray is a full round trip (copy_to_host_async is a no-op on axon),
+    # and the old per-window count/cls reads serialized 2 RTTs per pending
+    # window — the driver-geometry stage budget showed those two count_syncs
+    # alone costing 2.2 s of a 3.4 s video in a slow window. Packing all
+    # pending windows' (cls, count) into one device concat costs one dispatch
+    # + ONE sync regardless of window count.
+    pend_cls = [fin[0] for fin in finalized] + [wo[0] for wo in window_outputs]
+    pend_num = [wo[1] for wo in window_outputs]
+    if pend_cls:
+        packed = _timed("count_sync", lambda: np.asarray(
+            _pack_cls_counts(pend_cls, pend_num)))
+    else:
+        packed = np.zeros(0, np.float32)
+    cls_sz = [int(np.prod(c.shape)) for c in pend_cls]
+    offs = np.concatenate([[0], np.cumsum(cls_sz)])
+    counts = packed[offs[-1]:]
+
     win_cls, win_len, win_src = [], [], []
-    for out_cls_dev, n, chunks, len_frames in finalized:
-        win_cls.append(np.asarray(out_cls_dev)[:n])
+    for k, (out_cls_dev, n, chunks, len_frames) in enumerate(finalized):
+        cls_np = packed[offs[k]:offs[k + 1]].reshape(out_cls_dev.shape)
+        win_cls.append(cls_np[:n])
         win_len.append(len_frames)
         win_src.append(("full", n, chunks))
-    for wo in window_outputs:
+    for k, wo in enumerate(window_outputs):
         out_cls_dev, num_inst_dev, _, len_frames = wo
-        n = int(_timed("count_sync", np.asarray, num_inst_dev))
-        win_cls.append(np.asarray(out_cls_dev)[:n])
+        kk = len(finalized) + k
+        n = int(counts[k])
+        win_cls.append(packed[offs[kk]:offs[kk + 1]]
+                       .reshape(out_cls_dev.shape)[:n])
         win_len.append(len_frames)
         win_src.append(("slab", n, wo))
 

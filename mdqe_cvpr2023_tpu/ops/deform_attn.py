@@ -80,11 +80,13 @@ def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
         # self-attention, Q == N): block-permuted q-tiles are spatially local
         # so each grid cell contracts only a small patch per level. Scattered
         # small-Q callers (decoder) keep the legacy full-contraction kernels.
-        # MDQE_DEFORM_BANDED=0/1 forces either path (perf A/B). Positional
-        # args: custom_vjp nondiff args don't accept keywords.
-        env = os.environ.get("MDQE_DEFORM_BANDED")
+        # MDQE_DEFORM_BANDED=0 disables the banded path (perf A/B). Q == N is
+        # a structural requirement (the banded packing permutes queries by the
+        # pixel block permutation), so the env var can only opt OUT, never
+        # force banded onto scattered-Q callers. Positional args: custom_vjp
+        # nondiff args don't accept keywords.
         banded = (value.shape[1] == sampling_locations.shape[1]
-                  if env is None else env == "1")
+                  and os.environ.get("MDQE_DEFORM_BANDED") != "0")
         return ms_deform_attn_pallas(value, tuple(spatial_shapes),
                                      sampling_locations, attention_weights,
                                      Q_TILE, "bfloat16", banded)
