@@ -368,12 +368,19 @@ def _finalize_window(window_out, inf_cfg: InferenceCfg, image_size, ori_size):
                     jax.lax.dynamic_slice_in_dim(avg_dev, start, FCH, 0),
                     inf_cfg.match_stride, tuple(image_size), tuple(ori_size))
         ch = ch[c0 - start:c0 - start + min(FCH, n - c0), :len_frames]
+        chunks.append(ch)
+    # one device-side concat so the video-end host read is a SINGLE transfer
+    # per window (reading each chunk separately costs a full tunnel round trip
+    # apiece — 15 RTTs for a 120-instance evicted window; copy_to_host_async
+    # is a no-op on axon so the loop serialized them)
+    merged = jnp.concatenate(chunks) if len(chunks) > 1 else \
+        (chunks[0] if chunks else None)
+    if merged is not None:
         try:
-            ch.copy_to_host_async()
+            merged.copy_to_host_async()
         except Exception:
             pass
-        chunks.append(ch)
-    return out_cls_dev, n, chunks, len_frames
+    return out_cls_dev, n, merged, len_frames
 
 
 @functools.partial(jax.jit, donate_argnums=())
@@ -409,16 +416,19 @@ def _finalize_selected(window_out, rows, inf_cfg: InferenceCfg, image_size,
         ch = _timed("finalize_chunk_dispatch", finalize_avg_chunk, sel,
                     inf_cfg.match_stride, tuple(image_size), tuple(ori_size))
         ch = ch[:len(blk), :len_frames]
-        try:
-            ch.copy_to_host_async()
-        except Exception:
-            pass
         pend.append((blk, ch))
     rowmap = {}
-    for blk, ch in pend:
-        ch_np = _timed("finalize_sync", np.asarray, ch)
-        for j, r in enumerate(blk):
-            rowmap[r] = ch_np[j]
+    if pend:
+        # single device concat + single host read (per-chunk reads cost a
+        # tunnel RTT each; async copies are no-ops on axon)
+        merged = jnp.concatenate([ch for _, ch in pend]) if len(pend) > 1 \
+            else pend[0][1]
+        merged_np = _timed("finalize_sync", np.asarray, merged)
+        at = 0
+        for blk, _ in pend:
+            for j, r in enumerate(blk):
+                rowmap[r] = merged_np[at + j]
+            at += len(blk)
     return rowmap
 
 
@@ -701,8 +711,7 @@ def inference_vis(params, model_cfg: MDQEModelCfg, inf_cfg: InferenceCfg,
     for (kind, n, src), len_frames in zip(win_src, win_len):
         if kind == "full":
             if n > 0:
-                win_masks.append(np.concatenate(
-                    [_timed("finalize_sync", np.asarray, ch) for ch in src]))
+                win_masks.append(_timed("finalize_sync", np.asarray, src))
             else:
                 win_masks.append(np.zeros((0, len_frames, ori_size[0], pw),
                                           np.uint8))

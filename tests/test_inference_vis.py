@@ -127,7 +127,7 @@ def test_finalize_window_near_full_tracker():
     got = _finalize_window((out_cls, jnp.int32(n), jnp.asarray(avg), L),
                            inf_cfg, (16, 16), (16, 16))
     assert got[1] == n
-    packed = np.concatenate([np.asarray(c) for c in got[2]])
+    packed = np.asarray(got[2])  # chunks are merged on device (single read)
     expected = np.asarray(mem_finalize_masks(jnp.asarray(avg), 4, (16, 16),
                                              (16, 16)))[:n]
     np.testing.assert_array_equal(packed, expected)
