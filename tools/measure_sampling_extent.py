@@ -107,9 +107,17 @@ def main():
     ap.add_argument("--train-steps", type=int, default=0)
     ap.add_argument("--q-tile", type=int, default=256)
     ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (sampling locations are platform-"
+                         "independent; avoids touching the TPU tunnel). The "
+                         "image's sitecustomize pins JAX_PLATFORMS=axon, so "
+                         "the env var alone does NOT work — this flag uses "
+                         "jax.config before any computation.")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from bench import _load_or_init_params
     from mdqe_cvpr2023_tpu.models import MDQEModelCfg, detr_init
