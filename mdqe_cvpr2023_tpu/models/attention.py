@@ -121,7 +121,8 @@ def _attention_weights(p, cfg: MSDeformAttnCfg, query):
 
 def ms_deform_attn_module(p, cfg: MSDeformAttnCfg, query, reference_points, input_flatten,
                           spatial_shapes: Sequence[Tuple[int, int]], padding_mask=None,
-                          n_frames_runtime: int | None = None):
+                          n_frames_runtime: int | None = None,
+                          allow_banded: bool = True):
     """Apply the module.
 
     spatial mode:  query (B,Q,C), reference_points (B,Q,4) cxcywh,
@@ -143,7 +144,8 @@ def ms_deform_attn_module(p, cfg: MSDeformAttnCfg, query, reference_points, inpu
     if cfg.mode == "spatial":
         B, N, _ = value.shape
         v = value.reshape(B, N, H, D)
-        out = ms_deform_attn(v, spatial_shapes, loc, attw)
+        out = ms_deform_attn(v, spatial_shapes, loc, attw,
+                             allow_banded=allow_banded)
         # named so remat policies can SAVE the kernel output: re-running the
         # fused forward kernel during the backward costs ~34 ms per encoder
         # layer at train geometry, ~0.2 s/step for 70 MB/layer of savings

@@ -74,9 +74,10 @@ def flatten_levels(srcs: List[jax.Array], masks, pos, level_embed=None):
 
 
 def _encoder_layer(p, cfg: EncoderCfg, x, x_pos, ref_boxes, spatial_shapes,
-                   padding_mask, drop_rate=0.0, rng=None):
+                   padding_mask, drop_rate=0.0, rng=None, allow_banded=True):
     x2 = ms_deform_attn_module(p["self_attn"], cfg.attn_cfg, x + x_pos, ref_boxes,
-                               x, spatial_shapes, padding_mask)
+                               x, spatial_shapes, padding_mask,
+                               allow_banded=allow_banded)
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
     x = fnn.layer_norm(p["norm1"], x + fnn.dropout(x2, drop_rate, rngs[0]))
     h = fnn.dropout(jax.nn.gelu(fnn.linear(p["linear1"], x), approximate=False),
@@ -107,8 +108,13 @@ def encoder_apply(params, cfg: EncoderCfg, srcs, masks, pos, drop_rate=0.0,
 
         def body(x, xs):
             lp, lrng = xs
+            # training (remat) path: keep the legacy full-contraction kernels —
+            # the banded pack/permute glue recomputed under the remat policy
+            # costs more than the banded kernels save (interleaved step A/B:
+            # 1.474-1.482 banded vs 1.358-1.359 legacy s/iter at 512x800; the
+            # standalone kernels are a wash there, tools/bench_banded_ab.py)
             x = _encoder_layer(lp, cfg, x, lvl_pos, ref_boxes, spatial_shapes,
-                               mask, drop_rate, lrng)
+                               mask, drop_rate, lrng, allow_banded=False)
             return x, None
 
         # remat each layer for backward, but SAVE the deform-attn kernel output

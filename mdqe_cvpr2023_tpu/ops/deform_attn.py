@@ -66,11 +66,21 @@ def _level_bilinear_gather(v_l, x, y, h_l, w_l):
 
 
 def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
-                   sampling_locations, attention_weights, impl: str = "auto"):
+                   sampling_locations, attention_weights, impl: str = "auto",
+                   allow_banded: bool = True):
     """Fused multi-scale deformable attention (see module docstring for the contract).
 
     impl: 'auto' (Pallas hat-matmul kernel on TPU for large query counts, XLA
-          gather for small ones and on CPU), 'pallas', or 'xla'."""
+          gather for small ones and on CPU), 'pallas', or 'xla'.
+    allow_banded: opt OUT of the banded kernels even for Q == N callers.
+          The training encoder sets this False: interleaved same-window step
+          A/Bs at the 512x800 train geometry measured the banded step at
+          1.474-1.482 s/iter vs 1.358-1.359 legacy even though the standalone
+          kernels are a wash there (fwd+bwd 1.04x, tools/bench_banded_ab.py
+          --train-geom) — the banded pack/permute glue recomputed under the
+          encoder's remat policy eats the kernel win. Inference (fwd-only,
+          eval geometry) keeps banded: fwd 1.24x and whole-video device busy
+          1.26 -> 1.11 s."""
     if impl == "auto":
         impl = "xla" if jax.default_backend() in ("cpu",) else "pallas"
     if impl == "pallas":
@@ -85,7 +95,8 @@ def ms_deform_attn(value, spatial_shapes: Sequence[Tuple[int, int]],
         # pixel block permutation), so the env var can only opt OUT, never
         # force banded onto scattered-Q callers. Positional args: custom_vjp
         # nondiff args don't accept keywords.
-        banded = (value.shape[1] == sampling_locations.shape[1]
+        banded = (allow_banded
+                  and value.shape[1] == sampling_locations.shape[1]
                   and os.environ.get("MDQE_DEFORM_BANDED") != "0")
         return ms_deform_attn_pallas(value, tuple(spatial_shapes),
                                      sampling_locations, attention_weights,

@@ -131,3 +131,37 @@ def test_banded_through_custom_vjp_api():
     for a, b in zip(gk, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_training_encoder_opts_out_of_banded(monkeypatch):
+    """The training (remat) encoder path must pass allow_banded=False down to
+    ms_deform_attn — interleaved same-window step A/Bs showed the banded
+    pack/permute glue recomputed under the remat policy costs more than the
+    banded kernels save (1.47-1.48 vs 1.36 s/iter at the 512x800 train
+    geometry), while the fwd-only inference path keeps the banded win."""
+    from mdqe_cvpr2023_tpu.models import encoder as enc_mod
+
+    seen = []
+    real = enc_mod.ms_deform_attn_module
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("allow_banded", True))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(enc_mod, "ms_deform_attn_module", spy)
+
+    cfg = enc_mod.EncoderCfg(dim=32, n_heads=2, n_levels=2, n_points=2,
+                             n_layers=2)
+    params = enc_mod.encoder_init(jax.random.PRNGKey(0), cfg)
+    B = 1
+    srcs = [jnp.zeros((B, 8, 8, 32)), jnp.zeros((B, 4, 4, 32))]
+    masks = [jnp.zeros((B, 8, 8), bool), jnp.zeros((B, 4, 4), bool)]
+    pos = [jnp.zeros((B, 8, 8, 32)), jnp.zeros((B, 4, 4, 32))]
+
+    enc_mod.encoder_apply(params, cfg, srcs, masks, pos, drop_rate=0.1,
+                          rng=jax.random.PRNGKey(1))
+    assert seen and all(b is False for b in seen), seen
+
+    seen.clear()
+    enc_mod.encoder_apply(params, cfg, srcs, masks, pos)
+    assert seen and all(b is True for b in seen), seen
